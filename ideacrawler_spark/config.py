@@ -1,0 +1,99 @@
+"""Job configuration — the DomainOpt subset this engine supports.
+
+Mirrors the observable knobs of the reference's ``DomainOpt``
+(/root/reference/protofiles/ideacrawler.proto:47-143) that affect crawl
+ordering, the seen-set, shipped pages and politeness. Defaults follow the
+reference Go client defaults (/root/reference/goclient/ideacrawlerclient.go:104-120):
+MinDelay=5, Depth=-1, MaxConcurrentRequests=5, Mimetype="text/html".
+
+Chrome/CDP, login sessions and prefetch side-effects are explicit
+non-goals (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    job_id: str
+    seed_url: str = ""                      # proto seedUrl; "" = seedless (pushes only)
+    depth: int = -1                         # proto depth; -1 = unlimited (job.go:188)
+    no_follow: bool = False                 # proto noFollow
+    follow_other_domains: bool = False      # proto followOtherDomains (job.go:842-845)
+    follow_url_regexp: Optional[str] = None     # proto followUrlRegexp
+    callback_url_regexp: Optional[str] = None   # proto callbackUrlRegexp
+    callback_anchor_regexp: Optional[str] = None  # proto callbackAnchorTextRegexp
+    callback_seed_url: bool = False         # proto callbackSeedUrl (job.go:213-215)
+    unsafe_normalize: bool = False          # proto unsafeNormalizeURL (job.go:826-832)
+    check_content: bool = False             # proto checkContent → HEAD-first (job.go:811-814)
+    min_delay_s: int = 5                    # proto minDelay (Doer floors at 1s, doer.go:62-71)
+    max_delay_s: int = 0                    # proto maxDelay; 0 ⇒ fixed delay
+    max_concurrent: int = 5                 # proto maxConcurrentRequests (doer.go:36-41)
+    threads_per_site: int = 1               # proto threadsPerSite (fetch.go:364-366)
+    impolite: bool = False                  # proto impolite ⇒ skip robots.txt
+    mimetype: str = "text/html"             # proto mimetype (job.go:620-623)
+    # Engine-only knob: the virtual wall-clock length of one frontier round.
+    # The reference crawls continuously; the batch engine admits
+    # floor(round_seconds / crawl_delay(host)) URLs per host per round.
+    round_seconds: int = 30
+    # Engine-only: hard cap on rounds (safety valve for cyclic graphs with
+    # depth=-1; the reference would crawl forever too).
+    max_rounds: int = 64
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    # -- deterministic politeness budget math (shared by the Spark engine
+    #    and the pure-Python reference simulator so goldens line up) ------
+
+    @property
+    def effective_delay_s(self) -> int:
+        """Job-level inter-fetch delay: MinDelay floored at 1s (doer.go:62-71)."""
+        return max(int(self.min_delay_s), 1)
+
+    def host_budget(self, robots_crawl_delay: float = 0.0) -> int:
+        """URLs admitted for one host in one round.
+
+        Reference: per-host worker waits `delay` between requests
+        (fetch.go:356-454); delay = robots CrawlDelay if >0 (fetch.go:395-399)
+        else the job delay; ThreadsPerSite>1 parallelizes one host
+        (fetch.go:364-366,404-414).
+        """
+        delay = self.effective_delay_s
+        if not self.impolite and robots_crawl_delay and robots_crawl_delay > 0:
+            delay = robots_crawl_delay
+        per_thread = max(1, int(self.round_seconds // delay))
+        return per_thread * max(1, int(self.threads_per_site))
+
+    def global_budget(self) -> int:
+        """Round-global cap — the MaxConcurrentRequests semaphore analogue
+        (doer.go:36-41): at most max_concurrent requests in flight, each
+        taking ≥effective_delay seconds."""
+        per_slot = max(1, int(self.round_seconds // self.effective_delay_s))
+        return max(1, int(self.max_concurrent)) * per_slot
+
+
+def jobspec_from_row(row) -> JobSpec:
+    """Build a JobSpec from a row of the fixture ``job_specs`` table."""
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    return JobSpec(
+        job_id=d["job_id"],
+        seed_url=d.get("seed_url", "") or "",
+        depth=int(d.get("depth", -1)),
+        no_follow=bool(d.get("no_follow", False)),
+        follow_other_domains=not bool(d.get("seed_host_only", True)),
+        follow_url_regexp=d.get("follow_url_regexp") or None,
+        callback_url_regexp=d.get("callback_url_regexp") or None,
+        callback_anchor_regexp=d.get("callback_anchor_regexp") or None,
+        callback_seed_url=bool(d.get("callback_seed_url", False)),
+        unsafe_normalize=bool(d.get("unsafe_normalize", False)),
+        min_delay_s=int(d.get("min_delay_s", 5)),
+        max_delay_s=int(d.get("max_delay_s", 0)),
+        max_concurrent=int(d.get("max_concurrent", 5)),
+        threads_per_site=int(d.get("threads_per_site", 1)),
+        impolite=bool(d.get("impolite", False)),
+        mimetype=d.get("mimetype", "text/html") or "text/html",
+    )

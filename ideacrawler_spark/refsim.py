@@ -1,0 +1,310 @@
+"""Sequential reference simulator — the golden generator.
+
+A pure-Python, single-threaded executable specification of the reference's
+crawl semantics (shsms/ideacrawler), used to produce golden outputs that
+the Spark engine must reproduce bit-for-bit. Every rule cites the Go source
+it models:
+
+- seed pre-inserted into the seen-set AS GIVEN (unnormalized) and enqueued
+  at depth 0 (job.go:774-788);
+- pushed pages bypass normalization AND the seen-set (job.go:692-720,
+  comment at :696);
+- per-link pipeline in document order: resolve href against the request URL
+  (job.go:821) → purell normalize (job.go:826-832) → per-page urlMap →
+  eligibility (job.go:792-806) → seen-check; cross-domain links are marked
+  seen but NOT enqueued (job.go:842-845) with a CASE-SENSITIVE hostname
+  compare (Go url.Hostname() preserves case); enqueued children get
+  depth+1 and inherit metaStr (job.go:846-869);
+- follow gate on the CURRENT page URL (job.go:188): ¬noFollow ∧
+  (follow_re ∅ ∨ match(page_url)) ∧ (depth<0 ∨ page_depth<depth);
+- error gate: 400≤status<600 ⇒ no links; ship error only at depth 0
+  (job.go:121-137);
+- mimetype mux: only content-type == spec.mimetype (parameters stripped)
+  is handled at all (job.go:620-623, fetchbot handler.go:141-188);
+- callback OR-chain (job.go:210-273): callbackSeedUrl∧depth0; no
+  cb-url-regexp and no xpath specs; cb-url-regexp matches cmd URL;
+  anchor-regexp matches anchor (xpath specs are a non-goal here);
+- politeness: per-host FIFO with crawl delay (fetch.go:356-454), robots
+  longest-match (robotstxt.go:185-231), MaxConcurrentRequests semaphore
+  (doer.go:36-41) — modeled as the deterministic per-round budgets of
+  JobSpec.host_budget/global_budget.
+
+The crawl order golden is the deterministic linearization
+(round asc, depth asc, discovery_seq asc) of the reference's
+BFS-by-depth / per-host-FIFO order — the reference itself interleaves
+hosts nondeterministically, so the linearization is the contract.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+from urllib.parse import urljoin, urlsplit
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.functions.extract import extract_links
+from ideacrawler_spark.functions.robots import allowed, compile_rules, select_group
+from ideacrawler_spark.functions.urlnorm import canonicalize
+
+
+def host_raw(url: str) -> str:
+    """Go url.Hostname(): strips port/userinfo but PRESERVES case."""
+    try:
+        netloc = urlsplit(url).netloc
+    except ValueError:
+        return ""
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):  # ipv6
+        return netloc[1:].split("]", 1)[0]
+    return netloc.split(":", 1)[0]
+
+
+def base_content_type(ct: Optional[str]) -> str:
+    """Content-Type with parameters stripped (fetchbot handler.go:202-207)."""
+    return (ct or "").split(";", 1)[0].strip()
+
+
+@dataclass
+class FrontierEntry:
+    depth: int
+    seq: int
+    url: str          # the command URL string (what gets fetched/shipped)
+    url_norm: str     # canonical join key against the pages table
+    host: str         # lowercase host of url_norm
+    anchor: str = ""
+    meta: str = ""
+    method: str = "GET"
+    pushed: bool = False
+    no_callback: bool = False
+
+
+@dataclass
+class SimResult:
+    order: List[dict] = field(default_factory=list)     # fetch_seq,url,host,depth,round
+    seen: List[str] = field(default_factory=list)       # final seen-set (insertion order)
+    shipped: List[dict] = field(default_factory=list)
+    outlinks: Dict[str, List[str]] = field(default_factory=dict)
+    metrics: List[dict] = field(default_factory=list)   # per (round) lineage
+    rounds: int = 0
+
+
+def _compile(rx: Optional[str]):
+    return re.compile(rx) if rx else None
+
+
+def simulate(
+    spec: JobSpec,
+    pages: List[dict],
+    robots: List[dict],
+    pushes: Optional[List[dict]] = None,
+) -> SimResult:
+    pages_by_url = {p["url"]: p for p in pages}
+    # robots: host → ua-group → (rules, crawl_delay, fetch_status)
+    robots_groups: Dict[str, Dict[str, dict]] = {}
+    for r in robots or []:
+        g = robots_groups.setdefault(r["host"], {}).setdefault(
+            r["user_agent"], {"rules": [], "crawl_delay": 0.0, "fetch_status": 200}
+        )
+        g["rules"].append((r["rule_path"], bool(r["allow"])))
+        g["crawl_delay"] = float(r.get("crawl_delay") or 0.0)
+        g["fetch_status"] = int(r.get("fetch_status") or 200)
+
+    def robots_group_for(host: str) -> Optional[dict]:
+        groups = robots_groups.get(host)
+        if not groups:
+            return None
+        return select_group(groups, "Fetchbot")  # default UA (goclient :108)
+
+    compiled_rules: Dict[str, object] = {}
+
+    def robots_allowed(host: str, path: str) -> bool:
+        if spec.impolite:
+            return True
+        if host not in compiled_rules:
+            g = robots_group_for(host)
+            compiled_rules[host] = (
+                compile_rules(g["rules"], g["fetch_status"]) if g else None
+            )
+        return allowed(compiled_rules[host], path or "/")
+
+    def crawl_delay(host: str) -> float:
+        g = robots_group_for(host)
+        return float(g["crawl_delay"]) if g and not spec.impolite else 0.0
+
+    follow_re = _compile(spec.follow_url_regexp)
+    cb_url_re = _compile(spec.callback_url_regexp)
+    cb_anchor_re = _compile(spec.callback_anchor_regexp)
+
+    seen: Dict[str, bool] = {}
+    res = SimResult()
+    frontier: List[FrontierEntry] = []
+    seq_counter = 0
+    fetch_seq = 0
+
+    seed_host_raw = host_raw(spec.seed_url) if spec.seed_url else ""
+    if spec.seed_url:
+        seen[spec.seed_url] = True  # as given, unnormalized (job.go:776)
+        frontier.append(
+            FrontierEntry(
+                depth=0,
+                seq=seq_counter,
+                url=spec.seed_url,
+                url_norm=canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize),
+                host=(urlsplit(spec.seed_url).hostname or "").lower(),
+            )
+        )
+        seq_counter += 1
+
+    pushes_by_round: Dict[int, List[dict]] = {}
+    for p in pushes or []:
+        pushes_by_round.setdefault(int(p.get("round", 0)), []).append(p)
+
+    rnd = 0
+    while rnd < spec.max_rounds:
+        # -- inject client pushes for this round (no normalization, no dedup)
+        for p in sorted(pushes_by_round.get(rnd, []), key=lambda x: x.get("seq", 0)):
+            frontier.append(
+                FrontierEntry(
+                    depth=0,
+                    seq=seq_counter,
+                    url=p["url"],
+                    url_norm=canonicalize(p["url"]),  # engine-internal join key only
+                    host=(urlsplit(p["url"]).hostname or "").lower(),
+                    meta=p.get("meta", "") or "",
+                    method=p.get("method", "GET") or "GET",
+                    pushed=True,
+                    no_callback=bool(p.get("no_callback", False)),
+                )
+            )
+            seq_counter += 1
+        if not frontier and not any(r > rnd for r in pushes_by_round):
+            break
+        # -- politeness admission: per-host budget then global budget
+        by_host: Dict[str, List[FrontierEntry]] = {}
+        for e in sorted(frontier, key=lambda e: (e.depth, e.seq)):
+            by_host.setdefault(e.host, []).append(e)
+        admitted: List[FrontierEntry] = []
+        carried: List[FrontierEntry] = []
+        for host, entries in by_host.items():
+            hb = spec.host_budget(crawl_delay(host))
+            admitted.extend(entries[:hb])
+            carried.extend(entries[hb:])
+        admitted.sort(key=lambda e: (e.depth, e.seq))
+        gb = spec.global_budget()
+        carried.extend(admitted[gb:])
+        admitted = admitted[:gb]
+        frontier = carried
+
+        m = dict(round=rnd, admitted=len(admitted), carried=len(carried),
+                 fetched=0, deduped=0, robots_denied=0, shipped=0, errors=0)
+
+        for e in admitted:
+            # robots gate (fetch.go:401,422-425): denied → dropped silently
+            path = urlsplit(e.url_norm).path or "/"
+            if not robots_allowed(e.host, path):
+                m["robots_denied"] += 1
+                continue
+            res.order.append(
+                dict(fetch_seq=fetch_seq, url=e.url, host=e.host,
+                     depth=e.depth, round=rnd)
+            )
+            fetch_seq += 1
+            m["fetched"] += 1
+            page = pages_by_url.get(e.url_norm)
+            status = int(page["status"]) if page else 404
+            ctype = base_content_type(page["content_type"]) if page else spec.mimetype
+            # mimetype mux: non-matching content type → not handled at all
+            if ctype != spec.mimetype:
+                continue
+            if e.method == "HEAD":
+                # HEAD handler re-enqueues as GET with depth RESET TO 0 and
+                # anchorText dropped — reference quirk (job.go:302-315,
+                # urlDepth/anchorText not propagated)
+                frontier.append(
+                    FrontierEntry(depth=0, seq=seq_counter, url=e.url,
+                                  url_norm=e.url_norm, host=e.host,
+                                  anchor="", meta=e.meta, method="GET"))
+                seq_counter += 1
+                continue
+            if e.no_callback:
+                continue  # worker.go noCallback: GET handler returns immediately
+            if 400 <= status < 600:
+                m["errors"] += 1
+                if e.depth == 0:
+                    res.shipped.append(
+                        dict(url=e.url, depth=e.depth, anchor_text=e.anchor,
+                             meta=e.meta, status=status, text="",
+                             success=False, round=rnd))
+                    m["shipped"] += 1
+                continue
+            html = page["html"] if page else b""
+            # -- follow gate on the CURRENT page URL (job.go:188)
+            if (
+                not spec.no_follow
+                and (follow_re is None or follow_re.search(e.url))
+                and (spec.depth < 0 or e.depth < spec.depth)
+            ):
+                url_map: Dict[str, bool] = {}
+                for href, anchor in extract_links(html):
+                    try:
+                        absolute = urljoin(e.url, href)
+                    except ValueError:
+                        continue
+                    nurl = canonicalize(absolute, unsafe=spec.unsafe_normalize)
+                    url_map[nurl] = True
+                    # eligibility (job.go:792-806)
+                    req_match = not (
+                        (cb_url_re is not None and not cb_url_re.search(nurl))
+                        or (cb_anchor_re is not None and not cb_anchor_re.search(anchor))
+                    )
+                    follow_match = not (
+                        follow_re is not None and not follow_re.search(nurl)
+                    )
+                    if not req_match and not follow_match:
+                        continue
+                    if nurl in seen:
+                        m["deduped"] += 1
+                        continue
+                    # cross-domain: mark seen, don't enqueue (job.go:842-845);
+                    # case-sensitive raw-hostname compare (Go Hostname()).
+                    if spec.seed_url and not spec.follow_other_domains and \
+                            host_raw(absolute) != seed_host_raw:
+                        seen[nurl] = True
+                        continue
+                    method = "HEAD" if spec.check_content else "GET"
+                    frontier.append(
+                        FrontierEntry(
+                            depth=e.depth + 1, seq=seq_counter, url=nurl,
+                            url_norm=nurl,
+                            host=(urlsplit(nurl).hostname or "").lower(),
+                            anchor=anchor, meta=e.meta, method=method))
+                    seen[nurl] = True
+                    seq_counter += 1
+                res.outlinks[e.url] = sorted(url_map)
+            # -- callback OR-chain (job.go:210-273)
+            cb = False
+            if spec.callback_seed_url and e.depth == 0:
+                cb = True
+            if not spec.callback_url_regexp:  # no xpath specs supported
+                cb = True
+            if cb_url_re is not None and cb_url_re.search(e.url):
+                cb = True
+            if cb_anchor_re is not None and cb_anchor_re.search(e.anchor):
+                cb = True
+            if cb:
+                res.shipped.append(
+                    dict(url=e.url, depth=e.depth, anchor_text=e.anchor,
+                         meta=e.meta, status=status,
+                         text=page["text"] if page else "",
+                         success=True, round=rnd))
+                m["shipped"] += 1
+        res.metrics.append(m)
+        rnd += 1
+        if not frontier and not any(r >= rnd for r in pushes_by_round):
+            break
+
+    res.seen = list(seen)
+    res.rounds = rnd
+    return res
