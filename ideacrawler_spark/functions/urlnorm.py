@@ -220,3 +220,48 @@ def host_udf():
         return urls.map(lambda u: host_of(u) if u is not None else None)
 
     return _host
+
+
+def host_raw(url: str) -> str:
+    """Go url.Hostname(): strips port/userinfo but PRESERVES case —
+    the cross-domain compare is case-sensitive (job.go:842-845)."""
+    from urllib.parse import urlsplit as _us
+
+    try:
+        netloc = _us(url).netloc
+    except ValueError:
+        return ""
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):
+        return netloc[1:].split("]", 1)[0]
+    return netloc.split(":", 1)[0]
+
+
+RESOLVED_SCHEMA = "struct<url_norm:string,host_raw:string,host:string>"
+
+
+def resolve_canon_udf(unsafe: bool = False):
+    """pandas UDF (base_url, href) → struct(url_norm, host_raw, host).
+
+    One Arrow batch pass per partition performing Go requestURL.Parse
+    (RFC 3986 urljoin) + purell normalization + both hostname flavors."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(RESOLVED_SCHEMA)
+    def _resolve(base: pd.Series, href: pd.Series) -> pd.DataFrame:
+        norms, raws, hosts = [], [], []
+        for b, h in zip(base, href):
+            try:
+                absolute = urljoin(b, h)
+                nurl = canonicalize(absolute, unsafe=unsafe)
+                norms.append(nurl)
+                raws.append(host_raw(absolute))
+                hosts.append((urlsplit(nurl).hostname or "").lower())
+            except (ValueError, AttributeError):
+                norms.append(None)
+                raws.append(None)
+                hosts.append(None)
+        return pd.DataFrame({"url_norm": norms, "host_raw": raws, "host": hosts})
+
+    return _resolve

@@ -1,0 +1,87 @@
+"""Politeness admission — the batch analogue of fetchbot's per-host workers.
+
+The reference routes each URL to a per-host goroutine that sleeps
+``crawl_delay`` between fetches (fetch.go:269-454) under a job-global
+MaxConcurrentRequests semaphore (doer.go:36-41). The deterministic batch
+model: per round, each host admits its first ``host_budget`` pending URLs
+in (depth, seq) order — FIFO within host, BFS across depths — and the
+round admits at most ``global_budget`` URLs overall in the same order.
+
+Scale notes (10^10 frontier):
+- the per-host window shuffles by host — exactly the partitioning the rest
+  of the round wants anyway (repartition by host-hash); skewed hosts are
+  bounded because a host emits at most ``host_budget`` admitted rows, and
+  the pending tail ("carried") is written back without further wide ops;
+- the global cap must NOT be a single-partition ``Window.orderBy``:
+  ``admit_topk`` does a distributed bucket-histogram cutoff instead —
+  one small aggregate collected to the driver, then a filter; only the
+  single boundary bucket needs a window.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Order key packing: depth is bounded (< 2^20), per-round seq < 2^40.
+_SEQ_BITS = 40
+_BUCKET_BITS = 28  # bucket = key >> 28 → ~dozens of buckets at test scale
+
+
+def order_key(depth_col, seq_col):
+    """(depth, seq) → one sortable long: depth*2^40 + seq."""
+    return (depth_col.cast("long") * F.lit(1 << _SEQ_BITS) + seq_col.cast("long"))
+
+
+def admit_budget(frontier: DataFrame, host_budget_col, global_budget: int
+                 ) -> Tuple[DataFrame, DataFrame]:
+    """Split frontier into (admitted, carried) for one round.
+
+    ``frontier`` must carry columns host, depth, seq; ``host_budget_col`` is
+    a Column giving the per-row host budget (usually joined from robots
+    crawl_delay via JobSpec.host_budget math).
+    """
+    w_host = Window.partitionBy("host").orderBy("depth", "seq")
+    ranked = frontier.withColumn("_rn_host", F.row_number().over(w_host))
+    host_admitted = ranked.filter(F.col("_rn_host") <= host_budget_col)
+    host_carried = ranked.filter(F.col("_rn_host") > host_budget_col).drop("_rn_host")
+    admitted, overflow = admit_topk(
+        host_admitted.drop("_rn_host"), global_budget)
+    return admitted, host_carried.unionByName(overflow)
+
+
+def admit_topk(df: DataFrame, k: int) -> Tuple[DataFrame, DataFrame]:
+    """Exact first-k rows of ``df`` by (depth, seq) without a global window.
+
+    Distributed cutoff: histogram rows per key-bucket (small aggregate →
+    driver), find the boundary bucket by cumulative count, admit all rows in
+    buckets strictly below it, and window-rank ONLY the boundary bucket.
+    Returns (admitted, rest)."""
+    df = df.withColumn("_okey", order_key(F.col("depth"), F.col("seq")))
+    df = df.withColumn("_bkt", (F.col("_okey") / F.lit(1 << _BUCKET_BITS)).cast("long"))
+    hist = (
+        df.groupBy("_bkt").count().orderBy("_bkt").collect()
+    )
+    total = sum(r["count"] for r in hist)
+    if total <= k:
+        return df.drop("_okey", "_bkt"), df.limit(0).drop("_okey", "_bkt")
+    cum = 0
+    boundary, below = None, 0
+    for r in hist:
+        if cum + r["count"] > k:
+            boundary, below = r["_bkt"], cum
+            break
+        cum += r["count"]
+    admitted_lo = df.filter(F.col("_bkt") < boundary)
+    boundary_rows = df.filter(F.col("_bkt") == boundary)
+    w = Window.partitionBy("_bkt").orderBy("_okey")
+    ranked = boundary_rows.withColumn("_rn", F.row_number().over(w))
+    admitted_b = ranked.filter(F.col("_rn") <= k - below).drop("_rn")
+    rest_b = ranked.filter(F.col("_rn") > k - below).drop("_rn")
+    rest = df.filter(F.col("_bkt") > boundary).unionByName(rest_b)
+    return (
+        admitted_lo.unionByName(admitted_b).drop("_okey", "_bkt"),
+        rest.drop("_okey", "_bkt"),
+    )

@@ -1,0 +1,301 @@
+"""The round-loop crawl driver — micro-batched frontier rounds with
+atomic per-round checkpoints and crash-resume.
+
+The reference crawls continuously with goroutines and loses everything on
+a crash (no persistence anywhere). This driver is the batch/streaming
+analogue of its job loop (RunJob, job.go:599-673 + fetchbot queue): each
+frontier round is one micro-batch; termination is the all-hosts-idle
+condition (frontier empty, fetch.go:430-444 AutoClose).
+
+Checkpointing follows the Iceberg commit model (an Iceberg catalog is not
+available in this sandbox, so the same protocol is implemented over
+parquet + a JSON manifest): per round, every output table is written to
+``<ckpt>/round=<r>/<table>/`` and a single ``_COMMIT.json`` is renamed
+into place last. A round is visible iff its manifest exists, so a crash
+mid-round leaves the previous round authoritative and ``resume()``
+restarts from it — frontier offsets + seen-set + counters included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+from urllib.parse import urlsplit
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.functions.urlnorm import canonicalize
+from ideacrawler_spark.plans.round import FRONTIER_SCHEMA, run_round
+
+SEEN_SCHEMA = T.StructType([T.StructField("key", T.StringType())])
+
+
+def _frontier_schema() -> T.StructType:
+    return T.StructType.fromDDL(FRONTIER_SCHEMA)
+
+
+class CrawlEngine:
+    """Run one crawl job against a pages table (the simulated web).
+
+    Parameters
+    ----------
+    pushes : list[dict] | None
+        Client pushes (AddPages, worker.go:219-269): dicts with
+        round/url/method/meta/seq/no_callback. Unnormalized on purpose
+        (job.go:696) and exempt from the seen-set.
+    checkpoint_dir : str | None
+        Enables atomic per-round commits + resume. Without it, rounds are
+        localCheckpoint()ed in memory (lineage still truncated).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: JobSpec,
+        pages: DataFrame,
+        robots: Optional[DataFrame] = None,
+        pushes: Optional[List[dict]] = None,
+        checkpoint_dir: Optional[str] = None,
+        shuffle_partitions: int = 32,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.pages = pages
+        self.robots_host = self._prep_robots(robots) if robots is not None else None
+        self.pushes = sorted(pushes or [], key=lambda p: (int(p.get("round", 0)), int(p.get("seq", 0))))
+        self.ckpt = checkpoint_dir
+        self.nparts = shuffle_partitions
+        # mutable crawl state
+        self.frontier: Optional[DataFrame] = None
+        self.seen: Optional[DataFrame] = None
+        self.round = 0
+        self.seq_offset = 0
+        self.fetch_seq_offset = 0
+        self.metrics: List[dict] = []
+        self._shipped: List[DataFrame] = []
+        self._order: List[DataFrame] = []
+        self._outlinks: List[DataFrame] = []
+
+    # ------------------------------------------------------------------
+    def _prep_robots(self, robots: DataFrame) -> DataFrame:
+        """robots rows → one row per host with the UA-selected rule group.
+
+        Group selection = longest UA-prefix match, '*' weakest
+        (robotstxt.go:162-183), computed relationally: rank each
+        (host, user_agent) group against the fixed client UA and keep the
+        best. Stays fully JVM-side."""
+        ua = "fetchbot"  # reference default UA (goclient:108), lowercased
+        g = robots.groupBy("host", "user_agent").agg(
+            F.collect_list(
+                F.struct(F.col("rule_path"), F.col("allow"), F.col("fetch_status"))
+            ).alias("rules"),
+            F.max("crawl_delay").alias("crawl_delay"),
+        )
+        rank = (
+            F.when(F.lower(F.col("user_agent")) == "*", F.lit(0))
+            .when(
+                F.lit(ua).startswith(F.lower(F.col("user_agent"))),
+                F.length("user_agent"),
+            )
+            .otherwise(F.lit(-1))
+        )
+        g = g.withColumn("_ua_rank", rank).filter(F.col("_ua_rank") >= 0)
+        w = F.row_number().over(
+            Window.partitionBy("host").orderBy(F.desc("_ua_rank"), F.col("user_agent"))
+        )
+        return (
+            g.withColumn("_rn", w).filter(F.col("_rn") == 1)
+            .select("host", "crawl_delay", "rules")
+        )
+
+    # ------------------------------------------------------------------
+    def _empty_frontier(self) -> DataFrame:
+        return self.spark.createDataFrame([], _frontier_schema())
+
+    def _init_state(self):
+        spec = self.spec
+        rows = []
+        if spec.seed_url:
+            rows.append(
+                dict(
+                    depth=0, seq=0, url=spec.seed_url,
+                    url_norm=canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize),
+                    host=(urlsplit(spec.seed_url).hostname or "").lower(),
+                    anchor="", meta="", method="GET", pushed=False,
+                    no_callback=False,
+                )
+            )
+            self.seq_offset = 1
+        self.frontier = self.spark.createDataFrame(rows, _frontier_schema()) \
+            if rows else self._empty_frontier()
+        # seed enters the seen-set AS GIVEN, unnormalized (job.go:776)
+        seen_rows = [(spec.seed_url,)] if spec.seed_url else []
+        self.seen = self.spark.createDataFrame(seen_rows, SEEN_SCHEMA)
+
+    def _inject_pushes(self, rnd: int):
+        ps = [p for p in self.pushes if int(p.get("round", 0)) == rnd]
+        if not ps:
+            return
+        rows = []
+        for p in ps:
+            rows.append(
+                dict(
+                    depth=0, seq=self.seq_offset, url=p["url"],
+                    url_norm=canonicalize(p["url"]),
+                    host=(urlsplit(p["url"]).hostname or "").lower(),
+                    anchor="", meta=p.get("meta", "") or "",
+                    method=p.get("method", "GET") or "GET", pushed=True,
+                    no_callback=bool(p.get("no_callback", False)),
+                )
+            )
+            self.seq_offset += 1
+        self.frontier = self.frontier.unionByName(
+            self.spark.createDataFrame(rows, _frontier_schema())
+        )
+
+    def _has_future_pushes(self, rnd: int) -> bool:
+        return any(int(p.get("round", 0)) >= rnd for p in self.pushes)
+
+    # ------------------------------------------------------------------
+    def _materialize(self, df: DataFrame, table: str, rnd: int) -> DataFrame:
+        """Write a round output and return the re-read (lineage-cut) frame."""
+        if self.ckpt:
+            path = os.path.join(self.ckpt, f"round={rnd}", table)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _commit_round(self, rnd: int):
+        if not self.ckpt:
+            return
+        manifest = dict(
+            round=rnd,
+            seq_offset=self.seq_offset,
+            fetch_seq_offset=self.fetch_seq_offset,
+            metrics=self.metrics[-1] if self.metrics else None,
+            spec=self.spec.to_dict(),
+        )
+        tmp = os.path.join(self.ckpt, f"round={rnd}", "_COMMIT.json.tmp")
+        final = os.path.join(self.ckpt, f"round={rnd}", "_COMMIT.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic visibility point
+
+    def last_committed_round(self) -> int:
+        """Highest round with a commit manifest, or -1."""
+        if not self.ckpt or not os.path.isdir(self.ckpt):
+            return -1
+        best = -1
+        for name in os.listdir(self.ckpt):
+            if name.startswith("round="):
+                r = int(name.split("=", 1)[1])
+                if os.path.exists(os.path.join(self.ckpt, name, "_COMMIT.json")):
+                    best = max(best, r)
+        return best
+
+    def resume(self) -> bool:
+        """Restore state from the last committed round. True if resumed."""
+        r = self.last_committed_round()
+        if r < 0:
+            return False
+        base = os.path.join(self.ckpt, f"round={r}")
+        with open(os.path.join(base, "_COMMIT.json")) as f:
+            manifest = json.load(f)
+        self.frontier = self.spark.read.parquet(os.path.join(base, "frontier_next"))
+        self.seen = self.spark.read.parquet(os.path.join(base, "seen"))
+        self.round = r + 1
+        self.seq_offset = manifest["seq_offset"]
+        self.fetch_seq_offset = manifest["fetch_seq_offset"]
+        return True
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        """Crawl to fixpoint. Returns dict of result DataFrames."""
+        if resume and self.ckpt and self.resume():
+            pass
+        else:
+            self._init_state()
+        spec = self.spec
+        while self.round < spec.max_rounds:
+            rnd = self.round
+            self._inject_pushes(rnd)
+            n_pending = self.frontier.count()
+            if n_pending == 0 and not self._has_future_pushes(rnd + 1):
+                break
+            if n_pending == 0:
+                # idle round: only future pushes remain (refsim does the same)
+                self.metrics.append(dict(round=rnd, admitted=0, carried=0,
+                                         fetched=0, deduped=0,
+                                         robots_denied=0, errors=0))
+                self.round += 1
+                continue
+            res = run_round(
+                self.spark, spec, rnd, self.frontier, self.seen,
+                self.pages, self.robots_host,
+                fetch_seq_offset=self.fetch_seq_offset,
+                seq_offset=self.seq_offset,
+                shuffle_partitions=self.nparts,
+            )
+            # materialize round outputs (atomic commit when checkpointing)
+            shipped = self._materialize(res.shipped, "shipped", rnd)
+            order = self._materialize(res.metrics.pop("order"), "order", rnd)
+            outlinks = self._materialize(res.outlinks, "outlinks", rnd)
+            frontier_next = self._materialize(res.frontier_next, "frontier_next", rnd)
+            seen_next = self._materialize(
+                self.seen.unionByName(res.seen_new).repartition(self.nparts, "key"),
+                "seen", rnd,
+            )
+            n_front = frontier_next.count()
+            n_enq = n_front  # carried + enqueued; exact split in metrics
+            self.fetch_seq_offset += res.n_fetched
+            # seq_offset advances by the number of NEW entries ranked this
+            # round (children + HEAD requeues) — recover it from the data:
+            max_seq = frontier_next.agg(F.max("seq")).collect()[0][0]
+            if max_seq is not None:
+                self.seq_offset = max(self.seq_offset, int(max_seq) + 1)
+            m = res.metrics
+            m["carried"] = None
+            m["frontier_next"] = n_front
+            m["enqueued"] = n_enq
+            self.metrics.append(m)
+            for df in getattr(res, "_cached", []):
+                df.unpersist()
+            self.frontier = frontier_next
+            self.seen = seen_next
+            self._shipped.append(shipped)
+            self._order.append(order)
+            self._outlinks.append(outlinks)
+            self._commit_round(rnd)
+            self.round += 1
+
+        out = {}
+        if self.ckpt:
+            # read ALL committed rounds from disk (covers resumed runs too)
+            for name in ("shipped", "order", "outlinks"):
+                parts = []
+                for r in range(self.round):
+                    p = os.path.join(self.ckpt, f"round={r}", name)
+                    if os.path.exists(os.path.join(self.ckpt, f"round={r}", "_COMMIT.json")) and os.path.isdir(p):
+                        parts.append(self.spark.read.parquet(p))
+                df = None
+                for part in parts:
+                    df = part if df is None else df.unionByName(part)
+                out[name] = df
+        else:
+            dfs = dict(shipped=self._shipped, order=self._order, outlinks=self._outlinks)
+            for name, parts in dfs.items():
+                if parts:
+                    df = parts[0]
+                    for p in parts[1:]:
+                        df = df.unionByName(p)
+                    out[name] = df
+                else:
+                    out[name] = None
+        out["seen"] = self.seen
+        out["metrics"] = self.metrics
+        out["rounds"] = self.round
+        return out

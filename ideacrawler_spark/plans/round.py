@@ -1,0 +1,302 @@
+"""One frontier round — the declarative core of the engine.
+
+Maps the reference's fetch→parse→enqueue→ship handler chain
+(fetchHTTPGetHandler, job.go:111-300 + enqueueLinks, job.go:808-894) onto a
+single DataFrame pipeline:
+
+    frontier ⨝ robots → budget admit → robots gate → ⨝ pages ("fetch")
+        → [HEAD requeue | error ship | ok]
+    ok → follow gate → extract links (pandas UDF) → resolve+normalize
+        (pandas UDF) → eligibility (rlike) → in-round first-occurrence
+        (window on url_norm) → anti-join seen → cross-domain split
+        → children; callback OR-chain → shipped
+
+Every relational step is a built-in (whole-stage-codegen'd) operator;
+Python appears only in the three Arrow-batched UDFs (extract, resolve,
+robots rules). Filters are plain DataFrame predicates so Catalyst pushes
+them into the parquet scans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.functions.extract import extract_links_udf
+from ideacrawler_spark.functions.robots import robots_allowed_udf
+from ideacrawler_spark.functions.urlnorm import host_raw, resolve_canon_udf
+from ideacrawler_spark.operators.admission import admit_budget
+from ideacrawler_spark.operators.dedup import anti_join_seen, first_occurrence
+from ideacrawler_spark.operators.rank import global_rank
+
+FRONTIER_SCHEMA = (
+    "depth int, seq long, url string, url_norm string, host string, "
+    "anchor string, meta string, method string, pushed boolean, "
+    "no_callback boolean"
+)
+SHIPPED_SCHEMA = (
+    "fetch_seq long, url string, depth int, anchor_text string, meta string, "
+    "status int, text string, success boolean, round int"
+)
+SEEN_SCHEMA = "key string"
+
+
+class RoundResult:
+    def __init__(self, shipped, frontier_next, seen_new, outlinks, metrics,
+                 n_fetched, n_children):
+        self.shipped = shipped
+        self.frontier_next = frontier_next  # carried + head requeues + children (no pushes)
+        self.seen_new = seen_new            # NEW seen keys discovered this round
+        self.outlinks = outlinks
+        self.metrics = metrics              # dict of lineage counters
+        self.n_fetched = n_fetched
+        self.n_children = n_children
+
+
+def _host_budget_col(spec: JobSpec):
+    """JobSpec.host_budget as a Column over the joined crawl_delay."""
+    eff = float(spec.effective_delay_s)
+    if spec.impolite:
+        delay = F.lit(eff)
+    else:
+        delay = F.when(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+            F.col("crawl_delay"),
+        ).otherwise(F.lit(eff))
+    per_thread = F.greatest(
+        F.lit(1), F.floor(F.lit(float(spec.round_seconds)) / delay)
+    )
+    return per_thread * F.lit(max(1, spec.threads_per_site))
+
+
+def run_round(
+    spark: SparkSession,
+    spec: JobSpec,
+    rnd: int,
+    frontier: DataFrame,
+    seen: DataFrame,
+    pages: DataFrame,
+    robots_host: Optional[DataFrame],
+    fetch_seq_offset: int,
+    seq_offset: int,
+    shuffle_partitions: int = 32,
+) -> RoundResult:
+    metrics = dict(round=rnd)
+
+    # ---- politeness: join per-host robots dim, compute budgets, admit ----
+    if robots_host is not None:
+        fr = frontier.join(F.broadcast(robots_host), on="host", how="left")
+    else:
+        fr = frontier.withColumn("crawl_delay", F.lit(None).cast("double")) \
+                     .withColumn("rules", F.lit(None).cast(
+                         "array<struct<rule_path:string,allow:boolean,fetch_status:int>>"))
+    admitted, carried = admit_budget(fr, _host_budget_col(spec), spec.global_budget())
+    admitted = admitted.persist()
+    metrics["admitted"] = admitted.count()
+    carried = carried.drop("crawl_delay", "rules")
+    metrics["carried"] = None  # filled by driver (avoids an extra action)
+
+    # ---- robots allow/deny gate (pandas UDF over the joined rule array) --
+    path_col = F.coalesce(
+        F.nullif(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
+    if spec.impolite:
+        allowed = admitted.withColumn("_allowed", F.lit(True))
+    else:
+        allowed = admitted.withColumn(
+            "_allowed", robots_allowed_udf()(path_col, F.col("rules"))
+        )
+    denied_n = allowed.filter(~F.col("_allowed")).count()
+    metrics["robots_denied"] = denied_n
+    fetchable = allowed.filter(F.col("_allowed")).drop(
+        "_allowed", "crawl_delay", "rules")
+
+    # ---- deterministic fetch order (the crawl-order golden) --------------
+    fetchable = global_rank(
+        fetchable, ["depth", "seq"], out_col="fetch_seq",
+        offset=fetch_seq_offset,
+        num_partitions=shuffle_partitions,
+    )
+
+    # ---- "fetch" = equi-join against the simulated web -------------------
+    pg = pages.select(
+        F.col("url").alias("_page_url"),
+        F.col("html").alias("_html"),
+        F.col("text").alias("_text"),
+        F.col("status").alias("_status"),
+        F.col("content_type").alias("_ctype"),
+    )
+    fetched = fetchable.join(pg, on=fetchable.url_norm == pg._page_url, how="left")
+    fetched = (
+        fetched.withColumn("_status", F.coalesce(F.col("_status"), F.lit(404)))
+        .withColumn(
+            "_ctype_base",
+            F.coalesce(
+                F.trim(F.split(F.col("_ctype"), ";").getItem(0)),
+                F.lit(spec.mimetype),  # misses behave like text/html 404s
+            ),
+        )
+        .drop("_page_url", "_ctype")
+        .persist()
+    )
+    metrics["fetched"] = fetched.count()
+
+    # mimetype mux (job.go:620-623): non-matching pages are not handled at all
+    handled = fetched.filter(F.col("_ctype_base") == spec.mimetype)
+
+    # ---- HEAD requeue quirk (job.go:302-315): GET, depth reset, anchor lost
+    head_requeues = (
+        handled.filter(F.col("method") == "HEAD")
+        .select(
+            F.lit(0).alias("depth"),
+            F.col("depth").alias("parent_depth"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(-1).alias("link_pos"),
+            F.col("url"), F.col("url_norm"), F.col("host"),
+            F.lit("").alias("anchor"), F.col("meta"),
+            F.lit("GET").alias("method"),
+            F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
+        )
+    )
+
+    gets = handled.filter((F.col("method") == "GET") & ~F.col("no_callback"))
+    is_err = (F.col("_status") >= 400) & (F.col("_status") < 600)
+
+    # ---- error gate (job.go:121-137): ship error only at depth 0 ---------
+    err_rows = gets.filter(is_err)
+    shipped_err = err_rows.filter(F.col("depth") == 0).select(
+        F.col("fetch_seq"), F.col("url"), F.col("depth"),
+        F.col("anchor").alias("anchor_text"), F.col("meta"),
+        F.col("_status").alias("status"), F.lit("").alias("text"),
+        F.lit(False).alias("success"), F.lit(rnd).alias("round"),
+    )
+    metrics["errors"] = err_rows.count()
+
+    ok = gets.filter(~is_err)
+
+    # ---- follow gate on the CURRENT page URL (job.go:188) ----------------
+    follow = ok.filter(F.lit(not spec.no_follow))
+    if spec.follow_url_regexp:
+        follow = follow.filter(F.col("url").rlike(spec.follow_url_regexp))
+    if spec.depth >= 0:
+        follow = follow.filter(F.col("depth") < spec.depth)
+
+    # ---- link extraction + resolution (the two Arrow UDFs) ---------------
+    links = follow.select(
+        F.col("depth").alias("parent_depth"),
+        F.col("seq").alias("parent_seq"),
+        F.col("url").alias("parent_url"),
+        F.col("meta"),
+        F.posexplode(extract_links_udf()(F.col("_html"))).alias("link_pos", "_link"),
+    ).select(
+        "parent_depth", "parent_seq", "parent_url", "meta", "link_pos",
+        F.col("_link.href").alias("href"),
+        F.col("_link.anchor").alias("anchor"),
+    )
+    resolved = links.withColumn(
+        "_res",
+        resolve_canon_udf(unsafe=spec.unsafe_normalize)(
+            F.col("parent_url"), F.col("href")
+        ),
+    ).select(
+        "parent_depth", "parent_seq", "parent_url", "meta", "link_pos", "anchor",
+        F.col("_res.url_norm").alias("url_norm"),
+        F.col("_res.host_raw").alias("host_raw"),
+        F.col("_res.host").alias("host"),
+    ).filter(F.col("url_norm").isNotNull()).persist()
+
+    # ---- analyzed-URLs sink (job.go:815,874-893): per-page outlink set ---
+    outlinks = resolved.groupBy("parent_url").agg(
+        F.array_sort(F.collect_set("url_norm")).alias("outlinks"),
+        F.first("parent_depth").alias("depth"),
+    )
+
+    # ---- eligibility (job.go:792-806) ------------------------------------
+    req_match = F.lit(True)
+    if spec.callback_url_regexp:
+        req_match = req_match & F.col("url_norm").rlike(spec.callback_url_regexp)
+    if spec.callback_anchor_regexp:
+        req_match = req_match & F.col("anchor").rlike(spec.callback_anchor_regexp)
+    follow_match = (
+        F.col("url_norm").rlike(spec.follow_url_regexp)
+        if spec.follow_url_regexp else F.lit(True)
+    )
+    eligible = resolved.filter(req_match | follow_match).persist()
+    n_eligible = eligible.count()
+
+    # ---- dedup: in-round first occurrence, then anti-join the seen table -
+    firsts = first_occurrence(eligible)
+    new_firsts = anti_join_seen(firsts, seen).persist()
+    n_new = new_firsts.count()
+    metrics["deduped"] = n_eligible - n_new
+
+    # ---- cross-domain quirk (job.go:842-845): mark seen, don't enqueue ---
+    if spec.seed_url and not spec.follow_other_domains:
+        seed_raw = host_raw(spec.seed_url)
+        cross = new_firsts.filter(F.col("host_raw") != F.lit(seed_raw))
+        children_src = new_firsts.filter(F.col("host_raw") == F.lit(seed_raw))
+    else:
+        cross = new_firsts.limit(0)
+        children_src = new_firsts
+
+    child_method = "HEAD" if spec.check_content else "GET"
+    children = children_src.select(
+        (F.col("parent_depth") + 1).alias("depth"),
+        F.col("parent_depth"), F.col("parent_seq"), F.col("link_pos"),
+        F.col("url_norm").alias("url"), F.col("url_norm"), F.col("host"),
+        F.col("anchor"), F.col("meta"),
+        F.lit(child_method).alias("method"),
+        F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
+    )
+
+    # ---- discovery sequence numbers: children + HEAD requeues jointly,
+    #      ordered exactly as the reference's enqueue counter would fire
+    #      (parent fetch order, then link position; HEAD requeue at pos -1)
+    enq = children.unionByName(head_requeues)
+    enq = global_rank(
+        enq, ["parent_depth", "parent_seq", "link_pos"], out_col="seq",
+        offset=seq_offset, num_partitions=shuffle_partitions,
+    ).drop("parent_depth", "parent_seq", "link_pos")
+
+    seen_new = (
+        new_firsts.select(F.col("url_norm").alias("key"))
+    )
+
+    # ---- callback OR-chain (job.go:210-273) -------------------------------
+    cb = F.lit(False)
+    if spec.callback_seed_url:
+        cb = cb | (F.col("depth") == 0)
+    if not spec.callback_url_regexp:
+        cb = F.lit(True)
+    else:
+        cb = cb | F.col("url").rlike(spec.callback_url_regexp)
+    if spec.callback_anchor_regexp:
+        cb = cb | F.col("anchor").rlike(spec.callback_anchor_regexp)
+    shipped_ok = ok.filter(cb).select(
+        F.col("fetch_seq"), F.col("url"), F.col("depth"),
+        F.col("anchor").alias("anchor_text"), F.col("meta"),
+        F.col("_status").alias("status"),
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        F.lit(True).alias("success"), F.lit(rnd).alias("round"),
+    )
+    shipped = shipped_err.unionByName(shipped_ok)
+
+    order_cols = fetched.select(
+        "fetch_seq", "url", "host", "depth").withColumn("round", F.lit(rnd))
+
+    metrics["order"] = order_cols  # DataFrame; driver materializes
+    result = RoundResult(
+        shipped=shipped,
+        frontier_next=carried.unionByName(enq),
+        seen_new=seen_new,
+        outlinks=outlinks,
+        metrics=metrics,
+        n_fetched=metrics["fetched"],
+        n_children=None,
+    )
+    result._cached = [admitted, fetched, resolved, eligible, new_firsts]
+    return result

@@ -45,20 +45,7 @@ from urllib.parse import urljoin, urlsplit
 from ideacrawler_spark.config import JobSpec
 from ideacrawler_spark.functions.extract import extract_links
 from ideacrawler_spark.functions.robots import allowed, compile_rules, select_group
-from ideacrawler_spark.functions.urlnorm import canonicalize
-
-
-def host_raw(url: str) -> str:
-    """Go url.Hostname(): strips port/userinfo but PRESERVES case."""
-    try:
-        netloc = urlsplit(url).netloc
-    except ValueError:
-        return ""
-    if "@" in netloc:
-        netloc = netloc.rsplit("@", 1)[1]
-    if netloc.startswith("["):  # ipv6
-        return netloc[1:].split("]", 1)[0]
-    return netloc.split(":", 1)[0]
+from ideacrawler_spark.functions.urlnorm import canonicalize, host_raw  # noqa: F401
 
 
 def base_content_type(ct: Optional[str]) -> str:

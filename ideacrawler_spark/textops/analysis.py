@@ -1,0 +1,99 @@
+"""Text analysis for training-data pipelines: corpus-trained language ID,
+quality scoring, token counting, document fingerprinting.
+
+Integer/string outputs only (oracle-portable); everything is built-in
+DataFrame ops — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.textops.dedup import shingles_col, words_col
+from ideacrawler_spark.textops.hashing import P31, h60
+
+TOP_WORDS_PER_LANG = 20
+
+
+def langid_ngram(docs: DataFrame) -> DataFrame:
+    """Corpus-trained n-gram (word-unigram) language ID.
+
+    Profile = the TOP_WORDS_PER_LANG most frequent words per language
+    (trained on the corpus's own lang labels); a doc's predicted language
+    is the profile with the most distinct matching words (ties → lang asc).
+    Output: (doc_id, lang, pred_lang, matched).
+    """
+    wrd = docs.select("doc_id", "lang", F.explode(words_col()).alias("w"))
+    freq = wrd.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    wprof = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("w"))
+    profile = (
+        freq.withColumn("_r", F.row_number().over(wprof))
+        .filter(F.col("_r") <= TOP_WORDS_PER_LANG)
+        .select(F.col("lang").alias("p_lang"), "w")
+    )
+    doc_words = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(words_col())).alias("w")
+    )
+    scored = (
+        doc_words.join(profile, "w")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("matched"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("matched"), F.col("p_lang"))
+    return (
+        scored.withColumn("_r", F.row_number().over(wbest))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("pred_lang"), "matched")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Integer quality facets: word counts, type-token ratio (×1000,
+    integer division — exact), longest word, punctuation count.
+    Output: (doc_id, n_words, n_distinct, ttr_x1000, max_word_len, n_punct).
+    """
+    w = words_col()
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.expr(
+            "div(1000 * size(array_distinct(split(text, ' '))), "
+            "size(split(text, ' ')))"
+        ).alias("ttr_x1000"),
+        F.array_max(F.transform(w, F.length)).alias("max_word_len"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), F.lit(0))
+               ).alias("n_punct"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count
+    ([a-z]+ | digits | single other non-space). Output is all-integer."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("re_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint over k-gram shingle hashes:
+    (min, max, xor) of the rolling shingle hash set — order-sensitive
+    content signature with order-free (thus shuffle-safe) aggregation.
+    Output: (doc_id, fp_min, fp_max, fp_xor, n_shingles)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(k=k)).alias("shingle")
+    ).select("doc_id", (h60(F.col("shingle")) % F.lit(P31)).alias("sh"))
+    return sh.groupBy("doc_id").agg(
+        F.min("sh").alias("fp_min"),
+        F.max("sh").alias("fp_max"),
+        F.expr("bit_xor(sh)").alias("fp_xor"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -1,0 +1,201 @@
+"""Document deduplication family — exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+All operators are pure DataFrame compositions (no UDFs): shingling is
+``split`` + ``transform(sequence(...))``, hashing is the portable h60, and
+the LSH band join is an ordinary self-equi-join — which is exactly what
+scales: the band signature is the shuffle key, so near-duplicate clustering
+is one partitioned join instead of an O(n²) comparison.
+
+Scale notes: at 100 TB the heavy stage is the (doc, shingle) explode; it is
+map-side only (no shuffle until the per-doc min-hash aggregation, which is
+partially aggregated before the exchange). The band join's key space is
+~uniform (md5), so no skew; AQE handles stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.textops.hashing import MINHASH_A, MINHASH_B, P31, h60
+
+SHINGLE_K = 3
+MINHASH_K = 8
+BANDS = 4          # 4 bands × 2 rows
+ROWS_PER_BAND = MINHASH_K // BANDS
+
+
+def words_col(text_col="text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col="text", k: int = SHINGLE_K):
+    """k-word shingles; docs shorter than k words contribute one shingle =
+    the whole text (keeps every doc representable)."""
+    w = words_col(text_col)
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per md5(text)."""
+    w = Window.partitionBy("_h")
+    return (
+        docs.withColumn("_h", F.md5(F.col("text").cast("binary")))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keeper",
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        )
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh) with sh = h60(shingle) % P31, distinct per doc."""
+    return (
+        docs.select("doc_id", F.explode(shingles_col(k=k)).alias("shingle"))
+        .select("doc_id", (h60(F.col("shingle")) % F.lit(P31)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, j, mh): MINHASH_K affine-permutation min-hashes."""
+    sh = doc_shingle_hashes(docs)
+    perms = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    exploded = sh.select("doc_id", "sh", F.explode(perms).alias("p"))
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("p.j").alias("j"),
+            ((F.col("p.a") * F.col("sh") + F.col("p.b")) % F.lit(P31)).alias("hj"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hj").alias("mh"))
+    )
+
+
+def minhash_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the band's ordered minhashes."""
+    sig = minhash_signatures(docs)
+    sig = sig.withColumn("band", (F.col("j") / F.lit(ROWS_PER_BAND)).cast("int"))
+    # order-deterministic concat: sort (j, mh) structs, then join values
+    return sig.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("band_sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+
+    The self-join key (band, band_sig) is the scale story: each bucket is
+    tiny for non-pathological corpora, so the join output stays linear."""
+    bands = minhash_band_signatures(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
+    """(doc_id, simhash): word-multiset SimHash over ``bits`` bits.
+
+    bit b of the output = 1 iff sum over words of ±1 (by bit b of the word
+    hash) is positive. Explodes (doc × word × bit); the per-(doc,bit) sum is
+    partially aggregated map-side, so the shuffle is |docs|×bits rows."""
+    wrd = docs.select(
+        "doc_id", F.explode(words_col()).alias("w")
+    ).select("doc_id", (h60(F.col("w")) % F.lit(P31)).alias("hw"))
+    bit = wrd.select(
+        "doc_id",
+        "hw",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        (F.shiftright(F.col("hw"), F.col("b")).bitwiseAND(F.lit(1)) * 2 - 1).alias("s"),
+    )
+    return (
+        bit.groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b")))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Jaccard of k-gram shingle sets for adjacent doc_id pairs
+    (doc_id, doc_id+1) — the verification-friendly slice of all-pairs.
+    Output keeps exact integer numerator/denominator (no float hazards)."""
+    sh = doc_shingle_hashes(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("b.doc_id") == F.col("a.doc_id") + 1,
+                F.col("a.sh") == F.col("b.sh"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"))
+        .agg(F.count("*").alias("jaccard_num"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        sa.join(sb, on=F.col("sb.doc_id") == F.col("sa.doc_id") + 1)
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            (F.col("sa.doc_id") + 1).alias("doc_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+        .join(inter, on="doc_a", how="left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("jaccard_num"), F.lit(0)).alias("jaccard_num"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("jaccard_num"), F.lit(0))
+             ).alias("jaccard_den"),
+        )
+    )

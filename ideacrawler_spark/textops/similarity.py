@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Integer quantization (xq_i = floor(x_i * 10000)) makes every similarity an
+exact 64-bit integer — deterministic across engines and across partition
+orders (float summation order never matters), and it is the same trick
+int8-quantized ANN indexes use at scale.
+
+- ``cosine_topk_bruteforce``: exact top-k by quantized dot product; the
+  baseline. Query side is broadcast (it is small by construction), so the
+  scan over the candidate table is one shuffle-free map stage + a per-query
+  top-k aggregation.
+- ``lsh_buckets`` / ``lsh_topk``: sign-random-projection LSH; the
+  hyperplanes are ±1 vectors derived from the portable h60 hash, so the
+  oracle can recompute them. Bucketing turns all-pairs search into a
+  per-bucket join — the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.textops.hashing import h60
+
+QUANT = 10000
+N_PLANES = 8
+
+
+def quantized(col):
+    """array<float> → array<long>: floor(x * QUANT) per element."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def dot_q(a, b):
+    """Exact integer dot product of two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, n_queries: int = 5,
+                           k: int = 5) -> DataFrame:
+    """Exact top-k neighbors (by quantized dot product) for the first
+    ``n_queries`` vectors. Output: (query_id, rank, neighbor_id, dot_q)."""
+    emb = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q(F.col("qv"), F.col("q")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
+
+
+def plane_sign(j: int, i: int) -> int:
+    """±1 hyperplane component for plane j, dim i — parity of the portable
+    h60 hash of 'plane{j}:{i}', recomputable in the SQL oracle."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{j}:{i}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES,
+                dim: int = 64) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket in [0, 2^n_planes).
+
+    Plane vectors are literal ±1 arrays (driver-computed from the same md5
+    math the oracle uses), so the whole op is one shuffle-free map stage."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(plane_sign(j, i)).cast("long") for i in range(dim)])
+        proj = dot_q(F.col("q"), plane)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 3,
+             n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
+    """Approximate top-k within each vector's LSH bucket.
+
+    The per-bucket self-join is the scale path: shuffle key = bucket, each
+    bucket small. Output: (vec_id, rank, neighbor_id, dot_q)."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    b = lsh_buckets(embeddings, n_planes, dim)
+    v = emb.join(b, "vec_id")
+    a = v.alias("a")
+    c = v.alias("c")
+    pairs = a.join(
+        c,
+        on=[
+            F.col("a.bucket") == F.col("c.bucket"),
+            F.col("a.vec_id") != F.col("c.vec_id"),
+        ],
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        dot_q(F.col("a.q"), F.col("c.q")).alias("dot_q"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot_q"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", "dot_q")
+    )
