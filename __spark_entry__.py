@@ -464,9 +464,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, j, min((a * sh + b) % 2147483647) AS mh
               FROM sh CROSS JOIN perms GROUP BY doc_id, j),
             bands AS (
-              SELECT doc_id, CAST(j / 2 AS INT) AS band,
+              SELECT doc_id, CAST(j // 2 AS INT) AS band,
                      md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
-              FROM mh GROUP BY doc_id, CAST(j / 2 AS INT))
+              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT))
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_sig = b.band_sig

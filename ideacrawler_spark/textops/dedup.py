@@ -146,7 +146,8 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
     ).select(
         "doc_id",
         "b",
-        (F.shiftright(F.col("hw"), F.col("b")).bitwiseAND(F.lit(1)) * 2 - 1).alias("s"),
+        # shiftright with a column shift amount needs the SQL form
+        (F.expr("shiftright(hw, b) & 1") * 2 - 1).alias("s"),
     )
     return (
         bit.groupBy("doc_id", "b")
@@ -154,7 +155,8 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b")))
+                F.when(F.col("v") > 0,
+                       F.expr("shiftleft(cast(1 as bigint), b)"))
                 .otherwise(F.lit(0))
             ).alias("simhash")
         )
