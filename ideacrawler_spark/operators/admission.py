@@ -35,21 +35,40 @@ def order_key(depth_col, seq_col):
     return (depth_col.cast("long") * F.lit(1 << _SEQ_BITS) + seq_col.cast("long"))
 
 
-def admit_budget(frontier: DataFrame, host_budget_col, global_budget: int
-                 ) -> Tuple[DataFrame, DataFrame]:
+def admit_budget(frontier: DataFrame, host_budget_col, global_budget=None,
+                 salt: int = 16) -> Tuple[DataFrame, DataFrame]:
     """Split frontier into (admitted, carried) for one round.
 
     ``frontier`` must carry columns host, depth, seq; ``host_budget_col`` is
     a Column giving the per-row host budget (usually joined from robots
     crawl_delay via JobSpec.host_budget math).
+
+    Skew handling (the 10^10-frontier requirement): a mega-host would
+    funnel all its pending URLs through ONE window task. Instead, a salted
+    two-phase top-k: phase 1 takes the per-(host, salt) top-budget —
+    ``salt`` parallel slices per host — which provably contains the true
+    per-host top-budget; phase 2 ranks only those ≤ salt×budget survivors.
+    Exact same result as the unsalted window, bounded task size.
     """
-    w_host = Window.partitionBy("host").orderBy("depth", "seq")
-    ranked = frontier.withColumn("_rn_host", F.row_number().over(w_host))
-    host_admitted = ranked.filter(F.col("_rn_host") <= host_budget_col)
-    host_carried = ranked.filter(F.col("_rn_host") > host_budget_col).drop("_rn_host")
-    admitted, overflow = admit_topk(
-        host_admitted.drop("_rn_host"), global_budget)
-    return admitted, host_carried.unionByName(overflow)
+    fr = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
+    ).withColumn("_hb", host_budget_col)
+    w1 = Window.partitionBy("host", "_salt").orderBy("depth", "seq")
+    p1 = fr.withColumn("_rn1", F.row_number().over(w1))
+    survivors = p1.filter(F.col("_rn1") <= F.col("_hb")).drop("_rn1")
+    carried1 = p1.filter(F.col("_rn1") > F.col("_hb")).drop(
+        "_rn1", "_salt", "_hb")
+    w2 = Window.partitionBy("host").orderBy("depth", "seq")
+    p2 = survivors.withColumn("_rn2", F.row_number().over(w2))
+    host_admitted = p2.filter(F.col("_rn2") <= F.col("_hb")).drop(
+        "_rn2", "_salt", "_hb")
+    carried2 = p2.filter(F.col("_rn2") > F.col("_hb")).drop(
+        "_rn2", "_salt", "_hb")
+    carried = carried1.unionByName(carried2)
+    if global_budget is None:
+        return host_admitted, carried  # no global cap → skip the topk scan
+    admitted, overflow = admit_topk(host_admitted, global_budget)
+    return admitted, carried.unionByName(overflow)
 
 
 def admit_topk(df: DataFrame, k: int) -> Tuple[DataFrame, DataFrame]:

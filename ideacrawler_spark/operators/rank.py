@@ -35,7 +35,9 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
         part = df.repartitionByRange(*cols)
     part = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = part.withColumn("_rn", F.row_number().over(w))
+    # persist: the per-partition count below and the caller's action would
+    # otherwise both recompute the (possibly UDF-heavy) upstream lineage
+    ranked = part.withColumn("_rn", F.row_number().over(w)).persist()
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
     counts.sort(key=lambda r: r["_pid"])
     offsets, acc = {}, offset

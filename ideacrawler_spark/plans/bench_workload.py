@@ -1,0 +1,130 @@
+"""Benchmark workloads — the north-star metric pipeline.
+
+``frontier_round`` measures *URLs scheduled + deduped per second per
+frontier round* (BASELINE.json metric): generate an N-URL frontier with a
+deliberately skewed host distribution (one host owns ~30% of URLs — the
+salting test), 25% messy URLs (canonicalization slow path), a ~20% overlap
+with a pre-existing seen-set; then run the engine's real round prelude:
+
+    canonicalize (Arrow UDF) → in-round first-occurrence dedup (window on
+    url_norm) → anti-join seen → salted per-host budget admission →
+    global fetch ordering (bucket-histogram rank) → noop sink
+
+Everything is generated from ``spark.range`` — deterministic, no I/O bias,
+and the pipeline is the same operator code the crawl engine runs.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.functions.urlnorm import canonicalize_udf
+from ideacrawler_spark.operators.admission import admit_budget
+from ideacrawler_spark.operators.rank import global_rank
+
+N_HOSTS = 997
+SKEW_PCT = 30          # % of URLs on the single mega-host
+MESSY_PCT = 25         # % of URLs taking the canonicalization slow path
+SEEN_PCT = 20          # % of URLs already in the seen set
+
+
+def gen_frontier(spark: SparkSession, n: int, parts: int) -> DataFrame:
+    """Deterministic synthetic frontier of n URLs."""
+    df = spark.range(0, n, 1, parts)
+    host = F.when(
+        F.pmod(F.col("id"), 100) < SKEW_PCT, F.lit("bighost.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(N_HOSTS)).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    iid = F.col("id").cast("string")
+    clean = F.concat(F.lit("http://"), host, F.lit("/p/"), iid)
+    v = F.pmod(F.xxhash64(F.col("id") + 7), 100)
+    messy = (
+        F.when(v < 8, F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80/p/"), iid))
+        .when(v < 16, F.concat(F.lit("http://"), host, F.lit("/p/"), iid, F.lit("?")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit("/p/%34%32/"), iid))
+    )
+    url = F.when(v < MESSY_PCT, messy).otherwise(clean)
+    return df.select(
+        host.alias("host"),
+        url.alias("url"),
+        F.pmod(F.col("id"), 6).cast("int").alias("depth"),
+        F.col("id").alias("seq"),
+    )
+
+
+def gen_seen(spark: SparkSession, n: int, parts: int) -> DataFrame:
+    """Seen-set overlapping ~SEEN_PCT of the frontier's canonical URLs."""
+    df = spark.range(0, n, 1, parts)
+    host = F.when(
+        F.pmod(F.col("id"), 100) < SKEW_PCT, F.lit("bighost.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(N_HOSTS)).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    return df.filter(
+        F.pmod(F.xxhash64(F.col("id") + 13), 100) < SEEN_PCT
+    ).select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("id").cast("string")).alias("key")
+    )
+
+
+def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
+                   global_budget: int = 1 << 40) -> dict:
+    """Run one frontier-round prelude over n URLs; returns timings/counts.
+
+    Scale discipline (this is what survives 100 TB):
+    - every shuffle key is the 64-bit xxhash of the canonical URL, never
+      the string — long sorts/compares, ~8B keys through the exchanges;
+    - rows are narrowed to exactly the columns the next operator needs
+      BEFORE each exchange (no 150-byte rows riding five shuffles);
+    - the canonicalization UDF output is immediately hashed; the exact
+      string would be kept in the engine's seen-table (authoritative),
+      but never travels through the scheduling shuffles.
+    """
+    parts = spark.sparkContext.defaultParallelism * 2
+    frontier = gen_frontier(spark, n, parts)
+    seen = gen_seen(spark, n, parts).select(
+        F.xxhash64(F.col("key")).alias("seen_hash")
+    )
+    t0 = time.monotonic()
+    canon = frontier.withColumn("url_norm", canonicalize_udf()(F.col("url")))
+    cand = canon.select(
+        F.xxhash64(F.col("url_norm")).alias("url_hash"),
+        F.xxhash64(F.col("host")).alias("host_hash"),
+        "depth", "seq",
+    )
+    # anti-join BEFORE the first-occurrence window: same semantics, less
+    # window input, and the join's hash partitioning on url_hash is reused
+    # by the window (one exchange saved)
+    fresh = cand.join(seen, on=cand.url_hash == seen.seen_hash, how="left_anti")
+    w = Window.partitionBy("url_hash").orderBy("depth", "seq")
+    firsts = (
+        fresh.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") == 1).drop("_occ")
+    )
+    admitted, _carried = admit_budget(
+        firsts.withColumnRenamed("url_hash", "url")  # salt source
+              .withColumnRenamed("host_hash", "host"),
+        F.lit(host_budget),
+        None if global_budget >= n else global_budget,
+    )
+    ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
+                         num_partitions=parts)
+    ranked.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    # global_rank persists its ranked frame; identical plans across bench
+    # iterations would otherwise hit the cache and fake the timing
+    spark.catalog.clearCache()  # also drops the input frontier/seen caches
+    return dict(n=n, seconds=dt, urls_per_sec=n / dt)
