@@ -133,6 +133,22 @@ def q_budget_admit(spark, sf_dir):
     return admitted.select("host", "url", "depth", "seq")
 
 
+def q_budget_robots(spark, sf_dir):
+    """Full politeness budget (P2+P3): per-host budget derived from a
+    robots crawl-delay dim (host k ⇒ delay k%5, 0 ⇒ job delay 5s;
+    round=30s, threads=2): budget = max(1, 30 // delay) * 2."""
+    fr = _frontier(spark, sf_dir)
+    delays = fr.select("host").distinct().withColumn(
+        "crawl_delay",
+        (F.substring(F.col("host"), 5, 1).cast("int") % 5).cast("double"),
+    )
+    joined = fr.join(F.broadcast(delays), "host")
+    delay = F.when(F.col("crawl_delay") > 0, F.col("crawl_delay")).otherwise(F.lit(5.0))
+    budget = F.greatest(F.lit(1), F.floor(F.lit(30.0) / delay)) * 2
+    admitted, _ = admit_budget(joined, budget)  # crawl_delay rides along
+    return admitted.select("host", "url", "depth", "seq")
+
+
 def q_seen_antijoin(spark, sf_dir):
     """URL-seen dedup (D1 cross-round): anti-join against the seen table."""
     fr = _frontier(spark, sf_dir)
@@ -352,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_order": q_crawl_order,
         "budget_admit": q_budget_admit,
+        "budget_robots": q_budget_robots,
         "seen_antijoin": q_seen_antijoin,
         "first_occurrence": q_first_occurrence,
         "crawl_metrics": q_crawl_metrics,
@@ -392,6 +409,20 @@ def oracle_sql() -> dict[str, str]:
             WITH frontier AS ({_FRONTIER_SQL})
             SELECT host, url, depth, seq FROM frontier
             QUALIFY row_number() OVER (PARTITION BY host ORDER BY depth, seq) <= 25
+        """,
+        "budget_robots": f"""
+            WITH frontier AS ({_FRONTIER_SQL}),
+            delays AS (
+              SELECT DISTINCT host,
+                     CAST(CAST(substring(host, 5, 1) AS INT) % 5 AS DOUBLE)
+                       AS crawl_delay
+              FROM frontier)
+            SELECT f.host, f.url, f.depth, f.seq
+            FROM frontier f JOIN delays d ON f.host = d.host
+            QUALIFY row_number() OVER (PARTITION BY f.host
+                                       ORDER BY f.depth, f.seq)
+              <= greatest(1, floor(30.0 / (CASE WHEN d.crawl_delay > 0
+                                           THEN d.crawl_delay ELSE 5.0 END))) * 2
         """,
         "seen_antijoin": f"""
             WITH frontier AS ({_FRONTIER_SQL})

@@ -27,6 +27,11 @@ class JobSpec:
     callback_url_regexp: Optional[str] = None   # proto callbackUrlRegexp
     callback_anchor_regexp: Optional[str] = None  # proto callbackAnchorTextRegexp
     callback_seed_url: bool = False         # proto callbackSeedUrl (job.go:213-215)
+    # repeated KVP xpath specs; tuple of (xpath, value) pairs. NOTE the
+    # reference quirk: BOTH variants compare by string EQUALITY
+    # (job.go:233-269) — "Regexp" in the name notwithstanding.
+    callback_xpath_match: tuple = ()        # proto callbackXpathMatch
+    callback_xpath_regexp: tuple = ()       # proto callbackXpathRegexp
     unsafe_normalize: bool = False          # proto unsafeNormalizeURL (job.go:826-832)
     check_content: bool = False             # proto checkContent → HEAD-first (job.go:811-814)
     min_delay_s: int = 5                    # proto minDelay (Doer floors at 1s, doer.go:62-71)

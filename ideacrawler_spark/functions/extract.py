@@ -52,6 +52,50 @@ def extract_links(html: bytes | str | None) -> List[Tuple[str, str]]:
     return out
 
 
+def xpath_first_value(html: bytes | str | None, path: str) -> str:
+    """First-node string value for the ``//tag`` xpath subset.
+
+    The reference evaluates each CallbackXpathMatch/CallbackXpathRegexp key
+    with antchfx/xpath and compares the first node's string value for
+    EQUALITY — even for the \"Regexp\" variant (job.go:233-269, the
+    documented quirk). With no xpath library in this sandbox, the fixture
+    contract (FIXTURES.md HTML subset) allows an exact regex evaluator for
+    ``//tag`` paths: first occurrence of the tag, inner text, tags
+    stripped. Unknown node → empty string (antchfx: empty node value)."""
+    if html is None or not path.startswith("//"):
+        return ""
+    tag = path[2:].strip().lower()
+    if not tag.isalnum():
+        return ""
+    if isinstance(html, str):
+        html = html.encode("utf-8")
+    m = re.search(
+        rb"<" + tag.encode() + rb"[^>]*>(.*?)</" + tag.encode() + rb">",
+        html, re.DOTALL | re.IGNORECASE,
+    )
+    if m is None:
+        return ""
+    return _RX_TAG.sub(b"", m.group(1)).decode("utf-8", "replace")
+
+
+def xpath_all_equal(html, pairs) -> bool:
+    """ALL (path, value) pairs must match by string equality (job.go:233-269)."""
+    return all(xpath_first_value(html, p) == v for p, v in pairs)
+
+
+def xpath_match_udf(pairs):
+    """pandas UDF html → bool: every xpath pair equals its value."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = tuple(pairs)
+
+    @pandas_udf("boolean")
+    def _match(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: xpath_all_equal(b, pairs))
+
+    return _match
+
+
 LINKS_SCHEMA = "array<struct<href:string,anchor:string>>"
 
 

@@ -61,6 +61,7 @@ class CrawlEngine:
         pushes: Optional[List[dict]] = None,
         checkpoint_dir: Optional[str] = None,
         shuffle_partitions: int = 32,
+        bloom_shards: int = 64,
     ):
         self.spark = spark
         self.spec = spec
@@ -69,6 +70,7 @@ class CrawlEngine:
         self.pushes = sorted(pushes or [], key=lambda p: (int(p.get("round", 0)), int(p.get("seq", 0))))
         self.ckpt = checkpoint_dir
         self.nparts = shuffle_partitions
+        self.bloom_shards = bloom_shards
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -135,6 +137,18 @@ class CrawlEngine:
         # seed enters the seen-set AS GIVEN, unnormalized (job.go:776)
         seen_rows = [(spec.seed_url,)] if spec.seed_url else []
         self.seen = self.spark.createDataFrame(seen_rows, SEEN_SCHEMA)
+        # Bloom shards mirror the seen-set (superset invariant: every seen
+        # key must be folded in before it can be anti-joined against)
+        self.bloom_dir = None
+        if self.ckpt:
+            from ideacrawler_spark.operators.bloom import update_shards
+
+            init_dir = os.path.join(self.ckpt, "bloom_init")
+            update_shards(
+                self.seen.select(F.xxhash64("key").alias("key_hash")),
+                None, init_dir, n_shards=self.bloom_shards,
+            )
+            self.bloom_dir = init_dir
 
     def _inject_pushes(self, rnd: int):
         ps = [p for p in self.pushes if int(p.get("round", 0)) == rnd]
@@ -176,6 +190,7 @@ class CrawlEngine:
             round=rnd,
             seq_offset=self.seq_offset,
             fetch_seq_offset=self.fetch_seq_offset,
+            bloom_shards=self.bloom_shards,
             metrics=self.metrics[-1] if self.metrics else None,
             spec=self.spec.to_dict(),
         )
@@ -210,68 +225,107 @@ class CrawlEngine:
         self.round = r + 1
         self.seq_offset = manifest["seq_offset"]
         self.fetch_seq_offset = manifest["fetch_seq_offset"]
+        bloom = os.path.join(base, "bloom")
+        self.bloom_dir = bloom if os.path.isdir(bloom) else None
+        # shard count is a property of the persisted state, not the caller
+        self.bloom_shards = int(manifest.get("bloom_shards", self.bloom_shards))
         return True
 
     # ------------------------------------------------------------------
+    def step(self) -> int:
+        """Execute one frontier round (micro-batch). Returns the number of
+        pending frontier rows at round start (0 ⇒ idle round)."""
+        rnd = self.round
+        self._inject_pushes(rnd)
+        n_pending = self.frontier.count()
+        if n_pending == 0:
+            # idle round: only future pushes remain (refsim does the same)
+            self.metrics.append(dict(round=rnd, admitted=0, carried=0,
+                                     fetched=0, deduped=0,
+                                     robots_denied=0, errors=0))
+            self.round += 1
+            return 0
+        res = run_round(
+            self.spark, self.spec, rnd, self.frontier, self.seen,
+            self.pages, self.robots_host,
+            fetch_seq_offset=self.fetch_seq_offset,
+            seq_offset=self.seq_offset,
+            shuffle_partitions=self.nparts,
+            bloom_dir=self.bloom_dir,
+            bloom_shards=self.bloom_shards,
+        )
+        # materialize round outputs (atomic commit when checkpointing)
+        shipped = self._materialize(res.shipped, "shipped", rnd)
+        order = self._materialize(res.metrics.pop("order"), "order", rnd)
+        self._materialize(res.metrics.pop("part_metrics"), "part_metrics", rnd)
+        outlinks = self._materialize(res.outlinks, "outlinks", rnd)
+        frontier_next = self._materialize(res.frontier_next, "frontier_next", rnd)
+        seen_next = self._materialize(
+            self.seen.unionByName(res.seen_new).repartition(self.nparts, "key"),
+            "seen", rnd,
+        )
+        if self.ckpt:
+            # fold this round's new keys into the Bloom shards; the new
+            # shard directory becomes part of the round's atomic commit
+            from ideacrawler_spark.operators.bloom import update_shards
+
+            bloom_next = os.path.join(self.ckpt, f"round={rnd}", "bloom")
+            update_shards(
+                res.seen_new.select(F.xxhash64("key").alias("key_hash")),
+                self.bloom_dir, bloom_next, n_shards=self.bloom_shards,
+            )
+            self.bloom_dir = bloom_next
+        fr_row = frontier_next.agg(
+            F.count("*").alias("n"), F.max("seq").alias("mx")
+        ).collect()[0]
+        n_front = fr_row["n"]
+        self.fetch_seq_offset += res.n_fetched
+        # seq_offset advances by the number of NEW entries ranked this
+        # round (children + HEAD requeues) — recover it from the data:
+        if fr_row["mx"] is not None:
+            self.seq_offset = max(self.seq_offset, int(fr_row["mx"]) + 1)
+        m = res.metrics
+        m["carried"] = None
+        m["frontier_next"] = n_front
+        self.metrics.append(m)
+        for df in getattr(res, "_cached", []):
+            df.unpersist()
+        self.frontier = frontier_next
+        self.seen = seen_next
+        self._shipped.append(shipped)
+        self._order.append(order)
+        self._outlinks.append(outlinks)
+        self._commit_round(rnd)
+        self.round += 1
+        return n_pending
+
+    def drain(self):
+        """Run rounds until the frontier is empty (all-hosts-idle analogue,
+        fetch.go:430-444) or max_rounds hits."""
+        while self.round < self.spec.max_rounds:
+            if self.frontier.count() == 0 and not self._has_future_pushes(self.round):
+                break
+            self.step()
+
+    def add_pushes(self, rows: List[dict]):
+        """Streaming entry: enqueue client pushes for the CURRENT round
+        (AddPages, worker.go:219-269). Call before step()/drain()."""
+        for p in rows:
+            p = dict(p)
+            p["round"] = self.round
+            self.pushes.append(p)
+
     def run(self, resume: bool = False) -> dict:
         """Crawl to fixpoint. Returns dict of result DataFrames."""
         if resume and self.ckpt and self.resume():
             pass
         else:
             self._init_state()
-        spec = self.spec
-        while self.round < spec.max_rounds:
-            rnd = self.round
-            self._inject_pushes(rnd)
-            n_pending = self.frontier.count()
-            if n_pending == 0 and not self._has_future_pushes(rnd + 1):
-                break
-            if n_pending == 0:
-                # idle round: only future pushes remain (refsim does the same)
-                self.metrics.append(dict(round=rnd, admitted=0, carried=0,
-                                         fetched=0, deduped=0,
-                                         robots_denied=0, errors=0))
-                self.round += 1
-                continue
-            res = run_round(
-                self.spark, spec, rnd, self.frontier, self.seen,
-                self.pages, self.robots_host,
-                fetch_seq_offset=self.fetch_seq_offset,
-                seq_offset=self.seq_offset,
-                shuffle_partitions=self.nparts,
-            )
-            # materialize round outputs (atomic commit when checkpointing)
-            shipped = self._materialize(res.shipped, "shipped", rnd)
-            order = self._materialize(res.metrics.pop("order"), "order", rnd)
-            outlinks = self._materialize(res.outlinks, "outlinks", rnd)
-            frontier_next = self._materialize(res.frontier_next, "frontier_next", rnd)
-            seen_next = self._materialize(
-                self.seen.unionByName(res.seen_new).repartition(self.nparts, "key"),
-                "seen", rnd,
-            )
-            n_front = frontier_next.count()
-            n_enq = n_front  # carried + enqueued; exact split in metrics
-            self.fetch_seq_offset += res.n_fetched
-            # seq_offset advances by the number of NEW entries ranked this
-            # round (children + HEAD requeues) — recover it from the data:
-            max_seq = frontier_next.agg(F.max("seq")).collect()[0][0]
-            if max_seq is not None:
-                self.seq_offset = max(self.seq_offset, int(max_seq) + 1)
-            m = res.metrics
-            m["carried"] = None
-            m["frontier_next"] = n_front
-            m["enqueued"] = n_enq
-            self.metrics.append(m)
-            for df in getattr(res, "_cached", []):
-                df.unpersist()
-            self.frontier = frontier_next
-            self.seen = seen_next
-            self._shipped.append(shipped)
-            self._order.append(order)
-            self._outlinks.append(outlinks)
-            self._commit_round(rnd)
-            self.round += 1
+        self.drain()
+        return self.results()
 
+    def results(self) -> dict:
+        """Assemble the output tables from all committed rounds."""
         out = {}
         if self.ckpt:
             # read ALL committed rounds from disk (covers resumed runs too)

@@ -83,6 +83,8 @@ def run_round(
     fetch_seq_offset: int,
     seq_offset: int,
     shuffle_partitions: int = 32,
+    bloom_dir: Optional[str] = None,
+    bloom_shards: int = 64,
 ) -> RoundResult:
     metrics = dict(round=rnd)
 
@@ -94,8 +96,6 @@ def run_round(
                      .withColumn("rules", F.lit(None).cast(
                          "array<struct<rule_path:string,allow:boolean,fetch_status:int>>"))
     admitted, carried = admit_budget(fr, _host_budget_col(spec), spec.global_budget())
-    admitted = admitted.persist()
-    metrics["admitted"] = admitted.count()
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 
@@ -110,8 +110,14 @@ def run_round(
         allowed = admitted.withColumn(
             "_allowed", robots_allowed_udf()(path_col, F.col("rules"))
         )
-    denied_n = allowed.filter(~F.col("_allowed")).count()
-    metrics["robots_denied"] = denied_n
+    allowed = allowed.persist()
+    # one aggregate action for both admission metrics
+    adm_row = allowed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("denied"),
+    ).collect()[0]
+    metrics["admitted"] = adm_row["n"]
+    metrics["robots_denied"] = int(adm_row["denied"] or 0)
     fetchable = allowed.filter(F.col("_allowed")).drop(
         "_allowed", "crawl_delay", "rules")
 
@@ -143,7 +149,19 @@ def run_round(
         .drop("_page_url", "_ctype")
         .persist()
     )
-    metrics["fetched"] = fetched.count()
+    f_row = fetched.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("_ctype_base") == spec.mimetype)
+                & (F.col("method") == "GET") & ~F.col("no_callback")
+                & (F.col("_status") >= 400) & (F.col("_status") < 600),
+                1,
+            ).otherwise(0)
+        ).alias("errors"),
+    ).collect()[0]
+    metrics["fetched"] = f_row["n"]
+    metrics["errors"] = int(f_row["errors"] or 0)
 
     # mimetype mux (job.go:620-623): non-matching pages are not handled at all
     handled = fetched.filter(F.col("_ctype_base") == spec.mimetype)
@@ -174,7 +192,6 @@ def run_round(
         F.col("_status").alias("status"), F.lit("").alias("text"),
         F.lit(False).alias("success"), F.lit(rnd).alias("round"),
     )
-    metrics["errors"] = err_rows.count()
 
     ok = gets.filter(~is_err)
 
@@ -228,9 +245,16 @@ def run_round(
     eligible = resolved.filter(req_match | follow_match).persist()
     n_eligible = eligible.count()
 
-    # ---- dedup: in-round first occurrence, then anti-join the seen table -
+    # ---- dedup: in-round first occurrence, then anti-join the seen table.
+    #      With a Bloom checkpoint, provably-new rows skip the join (D1).
     firsts = first_occurrence(eligible)
-    new_firsts = anti_join_seen(firsts, seen).persist()
+    if bloom_dir is not None:
+        from ideacrawler_spark.operators.bloom import bloom_anti_join_seen
+
+        new_firsts = bloom_anti_join_seen(
+            firsts, seen, bloom_dir, n_shards=bloom_shards).persist()
+    else:
+        new_firsts = anti_join_seen(firsts, seen).persist()
     n_new = new_firsts.count()
     metrics["deduped"] = n_eligible - n_new
 
@@ -270,12 +294,19 @@ def run_round(
     cb = F.lit(False)
     if spec.callback_seed_url:
         cb = cb | (F.col("depth") == 0)
-    if not spec.callback_url_regexp:
-        cb = F.lit(True)
-    else:
+    if not spec.callback_url_regexp and not spec.callback_xpath_match \
+            and not spec.callback_xpath_regexp:
+        cb = F.lit(True)  # no callback specs at all ⇒ ship everything
+    if spec.callback_url_regexp:
         cb = cb | F.col("url").rlike(spec.callback_url_regexp)
     if spec.callback_anchor_regexp:
         cb = cb | F.col("anchor").rlike(spec.callback_anchor_regexp)
+    if spec.callback_xpath_match or spec.callback_xpath_regexp:
+        from ideacrawler_spark.functions.extract import xpath_match_udf
+        # equality for BOTH variants (job.go:233-269 quirk)
+        for pairs in (spec.callback_xpath_match, spec.callback_xpath_regexp):
+            if pairs:
+                cb = cb | xpath_match_udf(pairs)(F.col("_html"))
     shipped_ok = ok.filter(cb).select(
         F.col("fetch_seq"), F.col("url"), F.col("depth"),
         F.col("anchor").alias("anchor_text"), F.col("meta"),
@@ -288,6 +319,24 @@ def run_round(
     order_cols = fetched.select(
         "fetch_seq", "url", "host", "depth").withColumn("round", F.lit(rnd))
 
+    # ---- per-partition lineage metrics (D3): one row per host-hash shard.
+    #      The reference only logs ad hoc (job.go:207,865); the engine keeps
+    #      auditable counts per shard per round.
+    shard = F.pmod(F.xxhash64(F.col("host")), F.lit(shuffle_partitions)).cast("int")
+    part_metrics = (
+        allowed.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("admitted"),
+            F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("robots_denied"),
+            F.sum(F.when(F.col("_allowed"), 1).otherwise(0)).alias("fetched"),
+        )
+        .withColumn("round", F.lit(rnd))
+        .withColumn("retried", F.lit(0))  # reference never retries
+        # (fetch.go:415-425: errors and robots-denials drop, no requeue)
+    )
+    metrics["retried"] = 0
+    metrics["part_metrics"] = part_metrics  # DataFrame; driver materializes
+
     metrics["order"] = order_cols  # DataFrame; driver materializes
     result = RoundResult(
         shipped=shipped,
@@ -298,5 +347,5 @@ def run_round(
         n_fetched=metrics["fetched"],
         n_children=None,
     )
-    result._cached = [admitted, fetched, resolved, eligible, new_firsts]
+    result._cached = [allowed, fetched, resolved, eligible, new_firsts]
     return result

@@ -185,7 +185,8 @@ def simulate(
         frontier = carried
 
         m = dict(round=rnd, admitted=len(admitted), carried=len(carried),
-                 fetched=0, deduped=0, robots_denied=0, shipped=0, errors=0)
+                 fetched=0, deduped=0, robots_denied=0, shipped=0, errors=0,
+                 retried=0)  # reference never retries (fetch.go:415-425)
 
         for e in admitted:
             # robots gate (fetch.go:401,422-425): denied → dropped silently
@@ -274,12 +275,19 @@ def simulate(
             cb = False
             if spec.callback_seed_url and e.depth == 0:
                 cb = True
-            if not spec.callback_url_regexp:  # no xpath specs supported
-                cb = True
+            if not spec.callback_url_regexp and not spec.callback_xpath_match \
+                    and not spec.callback_xpath_regexp:
+                cb = True  # no callback specs at all ⇒ ship (job.go:217-219)
             if cb_url_re is not None and cb_url_re.search(e.url):
                 cb = True
             if cb_anchor_re is not None and cb_anchor_re.search(e.anchor):
                 cb = True
+            # xpath blocks — BOTH compare by equality (job.go:233-269 quirk)
+            from ideacrawler_spark.functions.extract import xpath_all_equal
+            if not cb and spec.callback_xpath_match:
+                cb = xpath_all_equal(html, spec.callback_xpath_match)
+            if not cb and spec.callback_xpath_regexp:
+                cb = xpath_all_equal(html, spec.callback_xpath_regexp)
             if cb:
                 res.shipped.append(
                     dict(url=e.url, depth=e.depth, anchor_text=e.anchor,

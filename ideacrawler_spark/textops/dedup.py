@@ -109,8 +109,11 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
 
     The self-join key (band, band_sig) is the scale story: each bucket is
-    tiny for non-pathological corpora, so the join output stays linear."""
-    bands = minhash_band_signatures(docs)
+    tiny for non-pathological corpora, so the join output stays linear.
+    The band table is persisted so the self-join's two sides share one
+    computation of the shingle→minhash pipeline (at warehouse scale this
+    would be a materialized signatures table)."""
+    bands = minhash_band_signatures(docs).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

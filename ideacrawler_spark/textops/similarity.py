@@ -100,7 +100,8 @@ def lsh_topk(embeddings: DataFrame, k: int = 3,
     bucket small. Output: (vec_id, rank, neighbor_id, dot_q)."""
     emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
     b = lsh_buckets(embeddings, n_planes, dim)
-    v = emb.join(b, "vec_id")
+    # persisted: both sides of the bucket self-join share one computation
+    v = emb.join(b, "vec_id").persist()
     a = v.alias("a")
     c = v.alias("c")
     pairs = a.join(

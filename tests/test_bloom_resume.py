@@ -1,0 +1,94 @@
+"""Bloom-shard seen-set (D1-approx) + checkpoint/crash-resume (M4).
+
+- unit: shard update + membership (no false negatives, low fp rate);
+- e2e: a checkpointed crawl (Bloom prefilter ON) is bit-for-bit identical
+  to the in-memory exact-only crawl;
+- resume: kill after round k, resume from the commit manifests, final
+  state identical to the uninterrupted run (SURVEY.md §5c).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.operators import bloom
+from ideacrawler_spark.plans.crawl import CrawlEngine
+from ideacrawler_spark.refsim import simulate
+
+
+def test_bloom_shard_roundtrip(spark, tmp_path):
+    d1 = str(tmp_path / "b1")
+    keys = spark.range(0, 5000).select(F.xxhash64("id").alias("key_hash"))
+    bloom.update_shards(keys, None, d1)
+    # every inserted key must be maybe-seen (no false negatives)
+    cand = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    flagged = bloom.maybe_seen(cand, d1)
+    assert flagged.filter(~F.col("_maybe_seen")).count() == 0
+    # unseen keys: low false-positive rate
+    other = spark.range(100000, 120000).select(F.xxhash64("id").alias("url_hash"))
+    fp = bloom.maybe_seen(other, d1).filter(F.col("_maybe_seen")).count()
+    assert fp / 20000 < 0.01
+    # incremental update keeps the superset invariant
+    d2 = str(tmp_path / "b2")
+    more = spark.range(50000, 51000).select(F.xxhash64("id").alias("key_hash"))
+    bloom.update_shards(more, d1, d2)
+    both = spark.range(0, 5000).union(spark.range(50000, 51000)).select(
+        F.xxhash64("id").alias("url_hash"))
+    assert bloom.maybe_seen(both, d2).filter(~F.col("_maybe_seen")).count() == 0
+
+
+def _spec(**kw):
+    base = dict(job_id="ckpt", seed_url="http://hosta.example/p/0",
+                min_delay_s=1, round_seconds=10, max_concurrent=5)
+    base.update(kw)
+    return JobSpec(**base)
+
+
+def _final_state(out):
+    order = [(r["fetch_seq"], r["url"], r["depth"], r["round"])
+             for r in out["order"].orderBy("fetch_seq").collect()]
+    seen = sorted(r["key"] for r in out["seen"].collect())
+    shipped = sorted((r["fetch_seq"], r["url"], r["text"])
+                     for r in out["shipped"].collect())
+    return order, seen, shipped
+
+
+def test_checkpointed_bloom_crawl_matches_refsim(spark, web, web_dfs, tmp_path):
+    pages, robots, seeds, pushes = web
+    pages_df, robots_df, _, _ = web_dfs
+    spec = _spec()
+    golden = simulate(spec, pages, robots, pushes)
+    eng = CrawlEngine(spark, spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ck"), shuffle_partitions=8,
+                      bloom_shards=8)
+    out = eng.run()
+    got = [(r["fetch_seq"], r["url"]) for r in out["order"].orderBy("fetch_seq").collect()]
+    want = [(o["fetch_seq"], o["url"]) for o in golden.order]
+    assert got == want
+    assert {r["key"] for r in out["seen"].collect()} == set(golden.seen)
+
+
+def test_crash_resume_equivalence(spark, web, web_dfs, tmp_path):
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    # depth-limited: 3 full crawls in this test — keep rounds bounded
+    full_spec = _spec(max_rounds=8, depth=3)
+    # uninterrupted reference run (with its own checkpoint)
+    ref = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ref"),
+                      shuffle_partitions=8, bloom_shards=8).run()
+    ref_state = _final_state(ref)
+    assert ref["rounds"] > 3  # the cut at round 3 happens before the end
+    # "crash" after 3 rounds: same job, truncated
+    ck = str(tmp_path / "crash")
+    cut_spec = dataclasses.replace(full_spec, max_rounds=3)
+    CrawlEngine(spark, cut_spec, pages_df, robots_df, pushes,
+                checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8).run()
+    # resume with the full spec from the committed state
+    eng2 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8)
+    out2 = eng2.run(resume=True)
+    assert _final_state(out2) == ref_state

@@ -1,0 +1,65 @@
+"""Reference-quirk e2e tests: HEAD/check_content depth reset (F9),
+mimetype filter (F8)."""
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.plans.crawl import CrawlEngine
+from ideacrawler_spark.refsim import simulate
+
+
+def _run_both(spark, web, web_dfs, spec, pushes=None):
+    pages, robots, _, _ = web
+    pages_df, robots_df, _, _ = web_dfs
+    golden = simulate(spec, pages, robots, pushes)
+    eng = CrawlEngine(spark, spec, pages_df, robots_df, pushes,
+                      shuffle_partitions=8)
+    return golden, eng.run()
+
+
+def _assert_order_seen(golden, got):
+    order = [(r["fetch_seq"], r["url"], r["depth"], r["round"])
+             for r in got["order"].orderBy("fetch_seq").collect()] \
+        if got["order"] is not None else []
+    want = [(o["fetch_seq"], o["url"], o["depth"], o["round"])
+            for o in golden.order]
+    assert order == want
+    assert {r["key"] for r in got["seen"].collect()} == set(golden.seen)
+
+
+def test_check_content_head(spark, web, web_dfs):
+    """CheckContent ⇒ links enqueued as HEAD; HEAD handler re-enqueues GET
+    with depth RESET to 0 and anchor dropped (job.go:302-315 quirk)."""
+    spec = JobSpec(job_id="head", seed_url="http://hostc.example/p/0",
+                   check_content=True, depth=2, min_delay_s=1,
+                   round_seconds=10, max_rounds=10)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    assert any(o["depth"] == 0 and o["url"] != spec.seed_url
+               for o in golden.order), "quirk not exercised by fixture"
+    _assert_order_seen(golden, got)
+
+
+def test_mimetype_filter(spark, web, web_dfs):
+    """Non-matching content types are not handled at all (job.go:620-623):
+    crawling with mimetype=application/pdf ships only pdf pages."""
+    spec = JobSpec(job_id="mime", seed_url="http://hosta.example/p/0",
+                   mimetype="application/pdf", min_delay_s=1,
+                   round_seconds=10, max_rounds=4)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_order_seen(golden, got)
+    shipped = got["shipped"].collect() if got["shipped"] is not None else []
+    assert len(shipped) == len(golden.shipped)
+
+
+def test_xpath_callback_equality_quirk(spark, web, web_dfs):
+    """CallbackXpathRegexp compares by EQUALITY despite the name
+    (job.go:252-269); fixture pages carry their url in <title>."""
+    target = "http://hosta.example/p/3"
+    spec = JobSpec(job_id="xp", seed_url="http://hosta.example/p/0",
+                   callback_xpath_regexp=(("//title", target),),
+                   min_delay_s=1, round_seconds=10, max_rounds=6)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    want = sorted((s["url"], s["depth"]) for s in golden.shipped)
+    shipped = sorted((r["url"], r["depth"]) for r in got["shipped"].collect()) \
+        if got["shipped"] is not None else []
+    assert shipped == want
+    assert all(u == target for u, _ in shipped) and len(shipped) >= 1
+    _assert_order_seen(golden, got)

@@ -1,0 +1,70 @@
+"""Unit tests for training-data ops incl. the multimodal plumbing."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.textops.dedup import exact_dedup, shingles_col
+from ideacrawler_spark.textops.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from ideacrawler_spark.textops.similarity import lsh_buckets, plane_sign
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y"), (2, "a b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["keeper"], r["is_dup"])
+            for r in exact_dedup(docs).collect()}
+    assert rows == {0: (0, False), 1: (1, False), 2: (0, True), 3: (0, True)}
+
+
+def test_shingles_short_doc_fallback(spark):
+    docs = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    out = docs.select(shingles_col().alias("s")).first()["s"]
+    assert out == ["one two"]  # whole text when < k words
+
+
+def test_plane_sign_deterministic():
+    a = [plane_sign(j, i) for j in range(2) for i in range(8)]
+    b = [plane_sign(j, i) for j in range(2) for i in range(8)]
+    assert a == b and set(a) <= {-1, 1} and len(set(a)) == 2
+
+
+def test_lsh_buckets_range(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(np.sin(i * 13 + d)) for d in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = lsh_buckets(emb, n_planes=4, dim=8).collect()
+    assert len(rows) == 20
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    # deterministic across runs
+    rows2 = lsh_buckets(emb, n_planes=4, dim=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_multimodal_features_deterministic(spark):
+    media = synth_media(spark, n=24)
+    out = extract_features(media).orderBy("media_id").collect()
+    assert len(out) == 24
+    r0 = out[0]
+    assert r0["n_bytes"] == 32 and len(r0["feat"]) == 8
+    # checksum is the exact byte sum — recompute driver-side
+    payload = media.filter(F.col("media_id") == 0).first()["payload"]
+    assert r0["checksum"] == sum(payload)
+    out2 = extract_features(media).orderBy("media_id").collect()
+    assert [r["feat"] for r in out] == [r["feat"] for r in out2]
+
+
+def test_frame_sample_counts(spark):
+    media = synth_media(spark, n=24)
+    fs = frame_sample(media, every_ms=500)
+    rows = fs.groupBy("media_id").count().collect()
+    vids = {r["media_id"]: r["count"] for r in rows}
+    for mid, n in vids.items():
+        dur = media.filter(F.col("media_id") == mid).first()["duration_ms"]
+        assert n == len(range(0, max(dur - 1, 0) + 1, 500))
