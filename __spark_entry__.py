@@ -222,6 +222,32 @@ def q_canonicalize(spark, sf_dir):
     ).select("event_id", "url_norm")
 
 
+def q_resolve(spark, sf_dir):
+    """href resolution against the page URL (F1, job.go:821 — RFC 3986):
+    four href shapes resolved from a two-segment base."""
+    from ideacrawler_spark.functions.urlnorm import resolve_canon_udf
+
+    fr = _frontier(spark, sf_dir)
+    i = F.col("event_id").cast("string")
+    base = F.concat(F.lit("http://"), F.col("host"), F.lit("/a/b/c"))
+    v = F.col("event_id") % 4
+    href = (
+        F.when(v == 0, F.concat(F.lit("../x/"), i))        # dot segments
+        .when(v == 1, F.concat(F.lit("/y/"), i))           # absolute path
+        .when(v == 2, F.concat(F.lit("z/"), i))            # relative
+        .otherwise(F.concat(F.lit("//other.example/"), i)) # scheme-relative
+    )
+    res = fr.select(
+        "event_id",
+        resolve_canon_udf()(base, href).alias("_r"),
+    )
+    return res.select(
+        "event_id",
+        F.col("_r.url_norm").alias("url_norm"),
+        F.col("_r.host").alias("host"),
+    )
+
+
 def q_host_shard(spark, sf_dir):
     """Host-hash partition assignment (P1) with the portable h60 hash."""
     fr = _frontier(spark, sf_dir)
@@ -375,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eligibility": q_eligibility,
         "outlink_sets": q_outlink_sets,
         "canonicalize": q_canonicalize,
+        "resolve": q_resolve,
         "host_shard": q_host_shard,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -470,6 +497,18 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 2 THEN 'http://host' || (user_id % 7) || '.example/p/42/' || event_id
                      ELSE 'http://host' || (user_id % 7) || '.example/a/../p/' || event_id
                    END AS url_norm
+            FROM events
+        """,
+        "resolve": """
+            SELECT event_id,
+                   CASE CAST(event_id % 4 AS INT)
+                     WHEN 0 THEN 'http://host' || (user_id % 7) || '.example/a/x/' || event_id
+                     WHEN 1 THEN 'http://host' || (user_id % 7) || '.example/y/' || event_id
+                     WHEN 2 THEN 'http://host' || (user_id % 7) || '.example/a/b/z/' || event_id
+                     ELSE 'http://other.example/' || event_id
+                   END AS url_norm,
+                   CASE WHEN event_id % 4 = 3 THEN 'other.example'
+                        ELSE 'host' || (user_id % 7) || '.example' END AS host
             FROM events
         """,
         "host_shard": f"""

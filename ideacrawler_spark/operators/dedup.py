@@ -17,7 +17,7 @@ Batch equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -26,14 +26,18 @@ def first_occurrence(candidates: DataFrame, key: str = "url_norm",
                      ) -> DataFrame:
     """Keep the first in-round occurrence of each key in discovery order.
 
-    The shuffle key is ``key`` (url hash) — uniformly distributed, so no
-    skew; this is the map-side-combinable analogue of the reference's
-    serialized dedup loop."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    Implemented as ``groupBy(key).agg(min_by(row, order))`` rather than a
+    row_number window: hash aggregation instead of a sort, and Spark's
+    partial aggregation acts as a map-side combiner — duplicate links are
+    collapsed BEFORE the shuffle, which is the whole point at 10^10 links.
+    The key is uniformly distributed (canonical URL), so no skew."""
+    others = [c for c in candidates.columns if c != key]
+    order = F.struct(*[F.col(c) for c in order_cols])
+    row = F.min_by(F.struct(*[F.col(c) for c in others]), order)
     return (
-        candidates.withColumn("_occ", F.row_number().over(w))
-        .filter(F.col("_occ") == 1)
-        .drop("_occ")
+        candidates.groupBy(key)
+        .agg(row.alias("_row"))
+        .select(F.col(key), *[F.col(f"_row.{c}").alias(c) for c in others])
     )
 
 
@@ -41,10 +45,18 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                    key: str = "url_norm", seen_key: str = "key") -> DataFrame:
     """Drop candidates whose key is already in the seen table.
 
-    Joins on the 64-bit xxhash of the key first (cheap long compare, lets
-    AQE/runtime filters prune) with the exact string as the tiebreak."""
+    The join key leads with the 64-bit xxhash of the string: the shuffle
+    hashes/sorts 8-byte longs and the string equality only runs on hash
+    ties, so almost every comparison short-circuits. The exact string stays
+    in the condition — results are bit-for-bit (hash collisions fall back
+    to the string compare)."""
+    s = seen.select(
+        F.xxhash64(F.col(seen_key)).alias("__seen_hash"),
+        F.col(seen_key).alias("__seen_key"),
+    )
     return candidates.join(
-        seen.select(F.col(seen_key).alias("__seen_key")),
-        on=F.col(key) == F.col("__seen_key"),
+        s,
+        on=(F.xxhash64(F.col(key)) == F.col("__seen_hash"))
+        & (F.col(key) == F.col("__seen_key")),
         how="left_anti",
     )

@@ -71,6 +71,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "payload binary"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving target dims computed
+    JVM-side; the pixel work is a STUB (no image lib here — swap the
+    body of ``batches`` for PIL's ``Image.resize`` in production). The
+    payload passes through untouched so byte-accounting stays testable."""
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "payload",
+        F.least(F.col("width"), F.lit(max_side)).alias("out_w"),
+        (F.col("height") * F.least(F.col("width"), F.lit(max_side))
+         / F.col("width")).cast("int").alias("out_h"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # STUB: real impl decodes + resamples; plumbing keeps payload
+            yield pdf[["media_id", "width", "height", "out_w", "out_h",
+                       "payload"]]
+
+    return imgs.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp.
     The decode is stubbed; the explode/partitioning shape is real."""

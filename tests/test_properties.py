@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the URL canonicalizer — the
+engine's most semantics-critical scalar function (F2).
+
+Key invariant: IDEMPOTENCE. The seen-set and the pages-table join key both
+assume canonicalize(canonicalize(u)) == canonicalize(u); a non-idempotent
+case would make a crawled URL re-enqueueable forever.
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from ideacrawler_spark.functions.urlnorm import canonicalize, host_of
+from ideacrawler_spark.functions.robots import allowed, compile_rules
+
+_host_label = st.text(
+    alphabet=string.ascii_letters + string.digits + "-", min_size=1, max_size=8
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_path_seg = st.text(
+    alphabet=string.ascii_letters + string.digits + "-._~%:@!$&'()*+,;= #?",
+    max_size=10,
+)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "Https"]))
+    host = ".".join(draw(st.lists(_host_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    nseg = draw(st.integers(0, 3))
+    path = "".join("/" + draw(_path_seg) for _ in range(nseg))
+    return f"{scheme}://{host}{port}{path}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_idempotent(u):
+    once = canonicalize(u)
+    assert canonicalize(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_unsafe_idempotent(u):
+    once = canonicalize(u, unsafe=True)
+    assert canonicalize(once, unsafe=True) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_preserves_host_identity(u):
+    # the canonical host equals the lowercased parsed host (ASCII inputs)
+    assert host_of(canonicalize(u)) == host_of(u).lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(alphabet="/ab*$", min_size=1, max_size=6), st.booleans()),
+    max_size=5,
+), st.text(alphabet="/ab", max_size=8))
+def test_robots_never_crashes_and_empty_allows(rules, path):
+    compiled = compile_rules(rules)
+    assert isinstance(allowed(compiled, path), bool)
+    assert allowed(compile_rules([]), path) is True  # no rules ⇒ allow

@@ -68,3 +68,15 @@ def test_frame_sample_counts(spark):
     for mid, n in vids.items():
         dur = media.filter(F.col("media_id") == mid).first()["duration_ms"]
         assert n == len(range(0, max(dur - 1, 0) + 1, 500))
+
+
+def test_resize_images_dims(spark):
+    from ideacrawler_spark.textops.multimodal import resize_images
+
+    media = synth_media(spark, n=24)
+    out = resize_images(media, max_side=100).collect()
+    assert len(out) == 8  # every third synth item is an image
+    for r in out:
+        assert r["out_w"] == min(r["width"], 100)
+        assert r["out_h"] == int(r["height"] * min(r["width"], 100) / r["width"])
+        assert r["payload"] is not None  # stub passes payload through
