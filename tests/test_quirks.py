@@ -63,3 +63,35 @@ def test_xpath_callback_equality_quirk(spark, web, web_dfs):
     assert shipped == want
     assert all(u == target for u, _ in shipped) and len(shipped) >= 1
     _assert_order_seen(golden, got)
+
+
+def test_no_callback_push(spark, web, web_dfs):
+    """noCallback commands are fetched but never shipped and never followed
+    (fetchHTTPGetHandler early return, job.go:118-120)."""
+    pushes = [
+        dict(round=0, url="http://hosta.example/p/5", method="GET",
+             meta="nc", seq=0, no_callback=True),
+    ]
+    spec = JobSpec(job_id="nc", seed_url="", impolite=True, depth=2,
+                   min_delay_s=1, round_seconds=10)
+    golden, got = _run_both(spark, web, web_dfs, spec, pushes=pushes)
+    _assert_order_seen(golden, got)
+    n_ship = got["shipped"].count() if got["shipped"] is not None else 0
+    assert n_ship == len(golden.shipped) == 0
+    assert len(golden.order) == 1  # fetched exactly once, nothing followed
+
+
+def test_no_robots_table(spark, web, web_dfs):
+    """Engine path with robots=None (host dim absent entirely)."""
+    from ideacrawler_spark.plans.crawl import CrawlEngine
+    from ideacrawler_spark.refsim import simulate
+
+    pages, _, _, _ = web
+    pages_df, _, _, _ = web_dfs
+    spec = JobSpec(job_id="nr", seed_url="http://hostc.example/p/0",
+                   impolite=True, min_delay_s=1, round_seconds=10,
+                   max_rounds=4)
+    golden = simulate(spec, pages, robots=[], pushes=None)
+    got = CrawlEngine(spark, spec, pages_df, robots=None,
+                      shuffle_partitions=8).run()
+    _assert_order_seen(golden, got)
