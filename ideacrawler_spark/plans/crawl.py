@@ -62,6 +62,7 @@ class CrawlEngine:
         checkpoint_dir: Optional[str] = None,
         shuffle_partitions: int = 32,
         bloom_shards: int = 64,
+        seen_filter: str = "bloom",   # or "cuckoo" (operators/cuckoo.py)
     ):
         self.spark = spark
         self.spec = spec
@@ -71,6 +72,7 @@ class CrawlEngine:
         self.ckpt = checkpoint_dir
         self.nparts = shuffle_partitions
         self.bloom_shards = bloom_shards
+        self.seen_filter = seen_filter
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -141,7 +143,7 @@ class CrawlEngine:
         # key must be folded in before it can be anti-joined against)
         self.bloom_dir = None
         if self.ckpt:
-            from ideacrawler_spark.operators.bloom import update_shards
+            update_shards = self._update_shards_fn()
 
             init_dir = os.path.join(self.ckpt, "bloom_init")
             update_shards(
@@ -191,6 +193,7 @@ class CrawlEngine:
             seq_offset=self.seq_offset,
             fetch_seq_offset=self.fetch_seq_offset,
             bloom_shards=self.bloom_shards,
+            seen_filter=self.seen_filter,
             metrics=self.metrics[-1] if self.metrics else None,
             spec=self.spec.to_dict(),
         )
@@ -229,7 +232,15 @@ class CrawlEngine:
         self.bloom_dir = bloom if os.path.isdir(bloom) else None
         # shard count is a property of the persisted state, not the caller
         self.bloom_shards = int(manifest.get("bloom_shards", self.bloom_shards))
+        self.seen_filter = manifest.get("seen_filter", self.seen_filter)
         return True
+
+    def _update_shards_fn(self):
+        if self.seen_filter == "cuckoo":
+            from ideacrawler_spark.operators.cuckoo import update_shards
+        else:
+            from ideacrawler_spark.operators.bloom import update_shards
+        return update_shards
 
     # ------------------------------------------------------------------
     def step(self) -> int:
@@ -253,6 +264,7 @@ class CrawlEngine:
             shuffle_partitions=self.nparts,
             bloom_dir=self.bloom_dir,
             bloom_shards=self.bloom_shards,
+            seen_filter=self.seen_filter,
         )
         # materialize round outputs (atomic commit when checkpointing)
         shipped = self._materialize(res.shipped, "shipped", rnd)
@@ -265,9 +277,9 @@ class CrawlEngine:
             "seen", rnd,
         )
         if self.ckpt:
-            # fold this round's new keys into the Bloom shards; the new
+            # fold this round's new keys into the filter shards; the new
             # shard directory becomes part of the round's atomic commit
-            from ideacrawler_spark.operators.bloom import update_shards
+            update_shards = self._update_shards_fn()
 
             bloom_next = os.path.join(self.ckpt, f"round={rnd}", "bloom")
             update_shards(

@@ -85,6 +85,7 @@ def run_round(
     shuffle_partitions: int = 32,
     bloom_dir: Optional[str] = None,
     bloom_shards: int = 64,
+    seen_filter: str = "bloom",
 ) -> RoundResult:
     metrics = dict(round=rnd)
 
@@ -248,7 +249,12 @@ def run_round(
     # ---- dedup: in-round first occurrence, then anti-join the seen table.
     #      With a Bloom checkpoint, provably-new rows skip the join (D1).
     firsts = first_occurrence(eligible)
-    if bloom_dir is not None:
+    if bloom_dir is not None and seen_filter == "cuckoo":
+        from ideacrawler_spark.operators.cuckoo import cuckoo_anti_join_seen
+
+        new_firsts = cuckoo_anti_join_seen(
+            firsts, seen, bloom_dir, n_shards=bloom_shards).persist()
+    elif bloom_dir is not None:
         from ideacrawler_spark.operators.bloom import bloom_anti_join_seen
 
         new_firsts = bloom_anti_join_seen(

@@ -92,3 +92,42 @@ def test_crash_resume_equivalence(spark, web, web_dfs, tmp_path):
                        checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8)
     out2 = eng2.run(resume=True)
     assert _final_state(out2) == ref_state
+
+
+def test_cuckoo_shard_roundtrip(spark, tmp_path):
+    from ideacrawler_spark.operators import cuckoo
+    from pyspark.sql import functions as F
+
+    d1 = str(tmp_path / "c1")
+    keys = spark.range(0, 5000).select(F.xxhash64("id").alias("key_hash"))
+    cuckoo.update_shards(keys, None, d1, n_shards=8)
+    cand = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    flagged = cuckoo.maybe_seen(cand, d1, n_shards=8)
+    assert flagged.filter(~F.col("_maybe_seen")).count() == 0  # no false negs
+    other = spark.range(100000, 120000).select(F.xxhash64("id").alias("url_hash"))
+    fp = cuckoo.maybe_seen(other, d1, n_shards=8).filter(F.col("_maybe_seen")).count()
+    assert fp / 20000 < 0.01
+    # incremental update keeps the superset invariant
+    d2 = str(tmp_path / "c2")
+    more = spark.range(50000, 51000).select(F.xxhash64("id").alias("key_hash"))
+    cuckoo.update_shards(more, d1, d2, n_shards=8)
+    both = spark.range(0, 5000).union(spark.range(50000, 51000)).select(
+        F.xxhash64("id").alias("url_hash"))
+    assert cuckoo.maybe_seen(both, d2, n_shards=8).filter(
+        ~F.col("_maybe_seen")).count() == 0
+
+
+def test_checkpointed_cuckoo_crawl_matches_refsim(spark, web, web_dfs, tmp_path):
+    pages, robots, seeds, pushes = web
+    pages_df, robots_df, _, _ = web_dfs
+    spec = _spec(job_id="cuckoo", depth=3, max_rounds=8)
+    golden = simulate(spec, pages, robots, pushes)
+    eng = CrawlEngine(spark, spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ckc"), shuffle_partitions=8,
+                      bloom_shards=8, seen_filter="cuckoo")
+    out = eng.run()
+    got = [(r["fetch_seq"], r["url"]) for r in
+           out["order"].orderBy("fetch_seq").collect()]
+    want = [(o["fetch_seq"], o["url"]) for o in golden.order]
+    assert got == want
+    assert {r["key"] for r in out["seen"].collect()} == set(golden.seen)
