@@ -110,6 +110,10 @@ _QUANT_SQL = (
 )
 
 _DOTQ_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+_DISTQ_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
 
 
 # --------------------------------------------------------------------------
@@ -283,6 +287,12 @@ def q_embedding_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_load(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    from ideacrawler_spark.textops.similarity import ivf_topk
+
+    return ivf_topk(_load(spark, sf_dir, "embeddings"))
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_load(spark, sf_dir, "embeddings"))
 
@@ -409,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "langid": q_langid,
@@ -577,6 +588,37 @@ def oracle_sql() -> dict[str, str]:
                      {dotq.format(a='qv', b='e.q')} AS dot_q
               FROM emb e CROSS JOIN queries
               WHERE e.vec_id != query_id)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id) AS rank,
+                   neighbor_id, dot_q
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "ivf_topk": f"""
+            WITH {_QUANT_SQL},
+            cents AS (SELECT vec_id AS cell, q AS cq FROM emb WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id, q, cell FROM (
+                SELECT e.vec_id, e.q, c.cell,
+                       {_DISTQ_SQL.format(a='e.q', b='c.cq')} AS d
+                FROM emb e CROSS JOIN cents c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) = 1),
+            queries AS (SELECT vec_id AS query_id, q AS qv FROM emb
+                        WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT qu.query_id, qu.qv, c.cell,
+                       {_DISTQ_SQL.format(a='qu.qv', b='c.cq')} AS d
+                FROM queries qu CROSS JOIN cents c)
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d, cell) <= 2),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     {_DOTQ_SQL.format(a='p.qv', b='a.q')} AS dot_q
+              FROM probes p JOIN assigned a ON a.cell = p.cell
+              WHERE a.vec_id != p.query_id)
             SELECT query_id,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY dot_q DESC, neighbor_id) AS rank,

@@ -72,7 +72,18 @@ def run_at(cores: int, n: int, iters: int = 2) -> dict:
     return r
 
 
+def _wait_for_quiet(max_wait_s: int = 120, threshold: float = 4.0):
+    """The sandbox host is shared; throughput numbers collapse under
+    neighbor load. Wait briefly for a quiet window (bounded, best-effort)."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_s:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(10)
+
+
 def main():
+    _wait_for_quiet()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "16000000"))
@@ -115,14 +126,53 @@ def main():
     def run_noop(q):
         qmap[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    for q in ("minhash_lsh_pairs", "simhash", "embedding_topk",
+    for q in ("minhash_lsh_pairs", "simhash", "embedding_topk", "ivf_topk",
               "ann_lsh_topk", "langid", "fingerprint", "crawl_order",
               "budget_admit"):
         t0 = time.monotonic()
         run_noop(q)
         queries[q] = round(time.monotonic() - t0, 3)
 
+    # ---- end-to-end engine throughput: full multi-round crawl ------------
+    from ideacrawler_spark.config import JobSpec
+    from ideacrawler_spark.plans.crawl import CrawlEngine
+    from ideacrawler_spark.sources.fixtures import (
+        PAGES_SCHEMA, ROBOTS_SCHEMA, synth_web,
+    )
+
+    import pandas as pd
+
+    E2E_SCALE = int(os.environ.get("SPARK_GRAFT_E2E_SCALE", "200"))
+    pages, robots, seeds, _ = synth_web(seed=42, scale=E2E_SCALE)
+    # 8 steady-state rounds (the full fixture crawl is ~17; throughput per
+    # round is what matters — round latency is constant, capacity is the
+    # frontier_round headline)
+    spec = JobSpec(job_id="bench-e2e", seed_url=seeds[0]["url"], impolite=True,
+                   follow_other_domains=True, min_delay_s=1, round_seconds=3600,
+                   max_concurrent=1 << 30, max_rounds=8)
+    pages_df = spark.createDataFrame(pd.DataFrame(pages), PAGES_SCHEMA) \
+        .repartition(16).persist()
+    pages_df.count()  # materialize before the clock (Arrow path, no py4j)
+    eng = CrawlEngine(spark, spec, pages_df,
+                      spark.createDataFrame(robots, ROBOTS_SCHEMA),
+                      shuffle_partitions=16)
+    t0 = time.monotonic()
+    out = eng.run()
+    n_fetched = sum(m.get("fetched", 0) for m in out["metrics"])
+    dt = time.monotonic() - t0
+    queries["crawl_e2e"] = round(dt, 3)
+    extras["crawl_e2e"] = dict(
+        scale=E2E_SCALE, rounds=out["rounds"], fetched=n_fetched,
+        pages_per_sec=round(n_fetched / dt, 1),
+        # round latency is the constant here; round CAPACITY is the
+        # frontier_round headline (millions of URLs per round)
+        sec_per_round=round(dt / max(out["rounds"], 1), 2),
+    )
+
     total = sum(queries.values())
+    # the sandbox host is shared: record background load so throughput
+    # numbers are interpretable (load > ~4 at start ⇒ depressed numbers)
+    extras["host_loadavg"] = [round(x, 1) for x in os.getloadavg()]
     print(json.dumps({
         "metric": "urls_scheduled_deduped_per_sec",
         "value": round(total, 3),

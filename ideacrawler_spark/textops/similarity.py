@@ -92,6 +92,83 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES,
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+N_CELLS = 8       # IVF coarse centroids
+N_PROBE = 2       # cells probed per query
+
+
+def dist_q(a, b):
+    """Exact integer squared-L2 distance of two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """(vec_id, cell, q): assign every vector to its nearest coarse
+    centroid by quantized squared-L2. Centroids are the first ``n_cells``
+    vectors (deterministic, oracle-recomputable; production would run a
+    few Lloyd iterations — the plan shape is identical).
+
+    Scale shape: centroids broadcast; assignment is one shuffle-free map
+    stage + a per-vector argmin (n_cells comparisons)."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    joined = emb.crossJoin(F.broadcast(cents))
+    scored = joined.select(
+        "vec_id", "q", "cell", dist_q(F.col("q"), F.col("cq")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "cell", "q")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+             n_cells: int = N_CELLS, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells per
+    query, brute-force only within them. Output:
+    (query_id, rank, neighbor_id, dot_q).
+
+    The per-cell join key is the scale path: candidate lists shrink by
+    ~n_cells/n_probe, and the cell id is the shuffle key."""
+    assigned = ivf_assign(embeddings, n_cells).persist()
+    cents = assigned.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", dist_q(F.col("qv"), F.col("cq")).alias("d")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cell"))
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = probes.join(assigned, on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q(F.col("qv"), F.col("q")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 3,
              n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
     """Approximate top-k within each vector's LSH bucket.
