@@ -297,6 +297,13 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_load(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    from ideacrawler_spark.textops.similarity import near_dup_pairs
+
+    # quantized dot > 10_000_000 ≈ cosine-similar for these unit-ish vecs
+    return near_dup_pairs(_load(spark, sf_dir, "embeddings"), 10_000_000)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_load(spark, sf_dir, "embeddings"))
 
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "langid": q_langid,
         "quality": q_quality,
@@ -627,6 +635,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "ann_lsh_buckets": _ANN_BUCKETS_SQL,
+        "embedding_near_dup": f"""
+            WITH {_QUANT_SQL}, {_planes_values_sql()},
+            proj AS (
+              SELECT vec_id, j, {_DOTQ_SQL.format(a='q', b='p')} AS s
+              FROM emb CROSS JOIN planes),
+            buckets AS (
+              SELECT vec_id,
+                     sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+              FROM proj GROUP BY vec_id),
+            v AS (SELECT e.vec_id, e.q, b.bucket FROM emb e
+                  JOIN buckets b USING (vec_id))
+            SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+                   {_DOTQ_SQL.format(a='a.q', b='c.q')} AS dot_q
+            FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE {_DOTQ_SQL.format(a='a.q', b='c.q')} >= 10000000
+        """,
         "ann_lsh_topk": _ANN_TOPK_SQL,
         "langid": """
             WITH wrd AS (

@@ -169,6 +169,36 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
     )
 
 
+def near_dup_pairs(embeddings: DataFrame, threshold_dot_q: int,
+                   n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation, then an exact quantized-dot-product threshold. Output:
+    (vec_id_a, vec_id_b, dot_q) with a < b.
+
+    Scale: candidates come only from shared sign-LSH buckets (per-bucket
+    join, no all-pairs); the threshold prunes at map side after the join."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    b = lsh_buckets(embeddings, n_planes, dim)
+    v = emb.join(b, "vec_id").persist()
+    a = v.alias("a")
+    c = v.alias("c")
+    return (
+        a.join(
+            c,
+            on=[
+                F.col("a.bucket") == F.col("c.bucket"),
+                F.col("a.vec_id") < F.col("c.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("c.vec_id").alias("vec_id_b"),
+            dot_q(F.col("a.q"), F.col("c.q")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= threshold_dot_q)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 3,
              n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
     """Approximate top-k within each vector's LSH bucket.
