@@ -80,3 +80,16 @@ def test_resize_images_dims(spark):
         assert r["out_w"] == min(r["width"], 100)
         assert r["out_h"] == int(r["height"] * min(r["width"], 100) / r["width"])
         assert r["payload"] is not None  # stub passes payload through
+
+
+def test_ivf_and_near_dup_shapes(spark):
+    from ideacrawler_spark.textops.similarity import ivf_topk, near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = ivf_topk(emb).collect()
+    assert len(ivf) == 25  # 5 queries × top-5
+    assert all(1 <= r["rank"] <= 5 and r["neighbor_id"] != r["query_id"]
+               for r in ivf)
+    nd = near_dup_pairs(emb, threshold_dot_q=5_000_000).collect()
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in nd)
+    assert all(r["dot_q"] >= 5_000_000 for r in nd)
