@@ -12,9 +12,9 @@ single DataFrame pipeline:
         → children; callback OR-chain → shipped
 
 Every relational step is a built-in (whole-stage-codegen'd) operator;
-Python appears only in the three Arrow-batched UDFs (extract, resolve,
-robots rules). Filters are plain DataFrame predicates so Catalyst pushes
-them into the parquet scans.
+Python appears only in Arrow-batched UDFs (extract, resolve, robots,
+xpath). Filters are plain DataFrame predicates so Catalyst pushes them
+into the parquet scans.
 """
 
 from __future__ import annotations

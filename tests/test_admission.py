@@ -1,0 +1,66 @@
+"""admit_topk / admit_budget unit semantics — the bucket-histogram global
+cap (P5) and the salted per-host budget (P2), exercised at BINDING limits
+(the e2e fixtures rarely saturate them)."""
+
+from pyspark.sql import functions as F
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.operators.admission import admit_budget, admit_topk
+from ideacrawler_spark.plans.crawl import CrawlEngine
+from ideacrawler_spark.refsim import simulate
+
+
+def _frontier(spark, n=500):
+    return spark.range(n).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("http://h/p/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.col("id").alias("seq"),
+    )
+
+
+def test_admit_topk_exact_boundary(spark):
+    fr = _frontier(spark)
+    for k in (1, 7, 123, 499, 500, 600):
+        admitted, rest = admit_topk(fr, k)
+        a = admitted.collect()
+        assert len(a) == min(k, 500)
+        assert rest.count() == 500 - min(k, 500)
+        # exactness: the admitted set IS the k smallest by (depth, seq)
+        want = sorted(fr.collect(), key=lambda r: (r["depth"], r["seq"]))[:k]
+        assert sorted((r["depth"], r["seq"]) for r in a) == \
+            sorted((r["depth"], r["seq"]) for r in want)
+
+
+def test_admit_budget_binding_global(spark):
+    fr = _frontier(spark)
+    admitted, carried = admit_budget(fr, F.lit(1000), global_budget=10)
+    a = admitted.collect()
+    assert len(a) == 10
+    assert carried.count() == 490
+    want = sorted(fr.collect(), key=lambda r: (r["depth"], r["seq"]))[:10]
+    assert sorted((r["depth"], r["seq"]) for r in a) == \
+        sorted((r["depth"], r["seq"]) for r in want)
+
+
+def test_binding_global_budget_e2e(spark, web, web_dfs):
+    """max_concurrent=1 ⇒ global budget 2/round: heavy carry-over, many
+    rounds — the reference's semaphore at its tightest (doer.go:36-41)."""
+    pages, robots, _, _ = web
+    pages_df, robots_df, _, _ = web_dfs
+    spec = JobSpec(job_id="tight", seed_url="http://hosta.example/p/0",
+                   min_delay_s=5, round_seconds=10, max_concurrent=1,
+                   depth=2, max_rounds=12)
+    golden = simulate(spec, pages, robots, None)
+    got = CrawlEngine(spark, spec, pages_df, robots_df,
+                      shuffle_partitions=8).run()
+    order = [(r["fetch_seq"], r["url"], r["round"]) for r in
+             got["order"].orderBy("fetch_seq").collect()]
+    want = [(o["fetch_seq"], o["url"], o["round"]) for o in golden.order]
+    assert order == want
+    assert {r["key"] for r in got["seen"].collect()} == set(golden.seen)
+    # the cap truly bound: no round fetched more than 2
+    per_round = {}
+    for _, _, rnd in order:
+        per_round[rnd] = per_round.get(rnd, 0) + 1
+    assert max(per_round.values()) <= 2 and len(per_round) >= 4
