@@ -488,7 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_metrics": f"""
             WITH frontier AS ({_FRONTIER_SQL})
             SELECT host, count(*) AS fetched,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors,
                    count(DISTINCT depth) AS n_depths,
                    min(seq) AS first_seq, max(seq) AS last_seq
             FROM frontier GROUP BY host
@@ -571,7 +571,7 @@ def oracle_sql() -> dict[str, str]:
               FROM wrd, unnest(range(0, 31)) AS r(b)
               GROUP BY doc_id, b)
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+                   sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id
         """,
         "ngram_jaccard": f"""
@@ -598,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id != query_id)
             SELECT query_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY dot_q DESC, neighbor_id) AS rank,
+                                      ORDER BY dot_q DESC, neighbor_id)::BIGINT AS rank,
                    neighbor_id, dot_q
             FROM scored
             QUALIFY rank <= 5
@@ -629,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.vec_id != p.query_id)
             SELECT query_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY dot_q DESC, neighbor_id) AS rank,
+                                      ORDER BY dot_q DESC, neighbor_id)::BIGINT AS rank,
                    neighbor_id, dot_q
             FROM scored
             QUALIFY rank <= 5
@@ -642,7 +642,7 @@ def oracle_sql() -> dict[str, str]:
               FROM emb CROSS JOIN planes),
             buckets AS (
               SELECT vec_id,
-                     sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+                     sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
               FROM proj GROUP BY vec_id),
             v AS (SELECT e.vec_id, e.q, b.bucket FROM emb e
                   JOIN buckets b USING (vec_id))
@@ -721,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_groups": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   sum(CAST(l_quantity AS INT)) AS sum_qty,
+                   sum(CAST(l_quantity AS INT))::BIGINT AS sum_qty,
                    min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -750,7 +750,7 @@ _ANN_BUCKETS_SQL = f"""
              {_DOTQ_SQL.format(a='q', b='p')} AS s
       FROM emb CROSS JOIN planes)
     SELECT vec_id,
-           sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+           sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
     FROM proj GROUP BY vec_id
 """
 
@@ -760,7 +760,7 @@ _ANN_TOPK_SQL = f"""
       SELECT vec_id, j, {_DOTQ_SQL.format(a='q', b='p')} AS s
       FROM emb CROSS JOIN planes),
     buckets AS (
-      SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+      SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS bucket
       FROM proj GROUP BY vec_id),
     v AS (SELECT e.vec_id, e.q, b.bucket FROM emb e JOIN buckets b USING (vec_id)),
     pairs AS (
@@ -769,7 +769,7 @@ _ANN_TOPK_SQL = f"""
       FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id != c.vec_id)
     SELECT vec_id,
            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY dot_q DESC, neighbor_id) AS rank,
+                              ORDER BY dot_q DESC, neighbor_id)::BIGINT AS rank,
            neighbor_id, dot_q
     FROM pairs
     QUALIFY rank <= 3

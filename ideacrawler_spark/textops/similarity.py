@@ -62,7 +62,7 @@ def cosine_topk_bruteforce(embeddings: DataFrame, n_queries: int = 5,
         F.desc("dot_q"), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot_q")
     )
@@ -163,7 +163,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot_q")
     )
@@ -224,7 +224,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 3,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot_q"), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "dot_q")
     )
