@@ -109,7 +109,12 @@ _QUANT_SQL = (
     "x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q FROM embeddings)"
 )
 
-_DOTQ_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+# DuckDB types bare list_sum over BIGINT[] as HUGEINT (int128); Spark emits
+# BIGINT. Cast at the source so every dot_q output column hashes identically.
+_DOTQ_SQL = (
+    "(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])))"
+    "::BIGINT"
+)
 _DISTQ_SQL = (
     "list_sum(list_transform(range(1, len({a}) + 1), "
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"

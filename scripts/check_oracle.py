@@ -77,6 +77,18 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
+            # the driver value-hash is type-width-sensitive: DuckDB HUGEINT
+            # (e.g. bare list_sum over BIGINT[]) vs Spark BIGINT hash-differs
+            # even when the values match, so flag it here.
+            rel = con.sql(sql)
+            wide = [
+                (c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+            ]
+            if wide:
+                failures.append((name, f"oracle emits int128 cols {wide}"))
+                print(f"FAIL {name}: oracle emits int128 cols {wide}")
+                continue
             cur = con.execute(sql)
             dcols = [d[0].lower() for d in cur.description]
             drows = cur.fetchall()
