@@ -369,8 +369,8 @@ def q_lineitem_groups(spark, sf_dir):
 def q_crawl_flagship(spark, sf_dir):
     """Full multi-round crawl on the deterministic synthetic web —
     bit-for-bit semantics are pytest-golden-verified vs the reference
-    simulator; here the driver checks stability/row production."""
-    from ideacrawler_spark.config import JobSpec
+    simulator AND oracled: the DuckDB side is the simulator's expected
+    shipped table rendered as a VALUES literal (_flagship_oracle_sql)."""
     from ideacrawler_spark.plans.crawl import CrawlEngine
     from ideacrawler_spark.sources.fixtures import (
         PAGES_SCHEMA,
@@ -379,10 +379,8 @@ def q_crawl_flagship(spark, sf_dir):
     )
 
     pages, robots, seeds, pushes = synth_web(seed=42, scale=1)
-    spec = JobSpec(job_id="flagship", seed_url=seeds[0]["url"],
-                   min_delay_s=1, round_seconds=30, max_concurrent=50)
     eng = CrawlEngine(
-        spark, spec,
+        spark, _flagship_spec(),
         spark.createDataFrame(pages, PAGES_SCHEMA),
         spark.createDataFrame(robots, ROBOTS_SCHEMA),
         pushes,
@@ -730,10 +728,61 @@ def oracle_sql() -> dict[str, str]:
                    min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        # crawl_flagship / multimodal_features: intentionally no oracle —
-        # multi-round stateful crawl + binary feature extraction are
-        # golden-tested in pytest (rows-only check here).
+        # The full multi-round crawl IS oracled: the expected shipped table
+        # comes from the reference simulator (refsim.py — pytest-golden vs
+        # the Go semantics, incl. the reference-published TestMultiSiteFilter
+        # counts) rendered as a VALUES literal. The Spark engine must land
+        # on the exact same rows after its distributed round loop.
+        "crawl_flagship": _flagship_oracle_sql(),
+        # Independent SQL recomputation of the deterministic synth-media
+        # formula (textops/multimodal.py synth_media): payload byte j of
+        # media i is (i*37 + j*11) % 251 with (i%7+1)*32 bytes — n_bytes
+        # and checksum are pure arithmetic, so DuckDB re-derives them
+        # without touching the Python decode path.
+        "multimodal_features": """
+            SELECT i::BIGINT AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   ((i % 7 + 1) * 32)::INT AS n_bytes,
+                   (list_sum(list_transform(range(0, (i % 7 + 1) * 32),
+                        j -> (i * 37 + j * 11) % 251)))::BIGINT AS checksum
+            FROM range(0, 64) t(i)
+        """,
     }
+
+
+def _flagship_spec():
+    from ideacrawler_spark.config import JobSpec
+
+    return JobSpec(job_id="flagship", seed_url="http://hosta.example/p/0",
+                   min_delay_s=1, round_seconds=30, max_concurrent=50)
+
+
+def _flagship_oracle_sql() -> str:
+    """Expected shipped table of the flagship crawl as a VALUES literal,
+    generated by the reference simulator (ideacrawler_spark/refsim.py) on
+    the same deterministic fixture web. refsim is the executable spec of
+    the Go reference (cited per rule there) and is itself pytest-anchored
+    to the reference's published TestMultiSiteFilter expectations."""
+    from ideacrawler_spark.refsim import simulate
+    from ideacrawler_spark.sources.fixtures import synth_web
+
+    pages, robots, seeds, pushes = synth_web(seed=42, scale=1)
+    golden = simulate(_flagship_spec(), pages, robots, pushes)
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({s['fetch_seq']}::BIGINT, {q(s['url'])}, {s['depth']}::INT, "
+        f"{q(s['anchor_text'])}, {q(s['meta'])}, {s['status']}::INT, "
+        f"{q(s['text'])})"
+        for s in sorted(golden.shipped, key=lambda s: s["fetch_seq"])
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows + ") AS t("
+        "fetch_seq, url, depth, anchor_text, meta, status, text)"
+    )
 
 
 # ANN oracle SQL needs the ±1 plane literals; generate them once at import

@@ -1,22 +1,36 @@
-"""URL canonicalization with purell-FlagsSafe parity.
+"""URL canonicalization with exact reference parity.
 
 The reference normalizes every extracted link with
-``purell.NormalizeURL(u, purell.FlagsSafe)`` (/root/reference/job.go:826-832);
-FlagsSafe (vendor/.../purell/purell.go:59) is:
+``purell.NormalizeURL(u, purell.FlagsSafe)`` (/root/reference/job.go:826-832)
+where ``u`` came from ``requestURL.Parse(val)`` (job.go:821). That pipeline
+is (vendor/.../purell/purell.go:152-184, vendor/.../urlesc/urlesc.go):
 
-  FlagLowercaseScheme | FlagLowercaseHost | FlagUppercaseEscapes |
-  FlagDecodeUnnecessaryEscapes | FlagEncodeNecessaryEscapes |
-  FlagRemoveDefaultPort | FlagRemoveEmptyQuerySeparator
+1. Go ``url.Parse``: decodes path/fragment/userinfo (REJECTING malformed
+   %-escapes and bad ports — the reference then skips the link), keeps
+   RawQuery verbatim, detects opaque (``scheme:rest``) forms.
+2. ``NormalizeURL`` with FlagsSafe applies ONLY lowercaseScheme,
+   lowercaseHost and removeDefaultPort as mutations (purell.go:94-96: the
+   escape flags "have no action, since it is done automatically by parsing
+   the string as an URL"). Notably the width-fold/NFC/IDNA host encoding
+   lives in ``NormalizeURLString`` (purell.go:152-170) which the reference
+   never calls — hosts are ONLY lowercased, never IDNA-encoded.
+3. ``urlesc.Escape`` renders: path re-encoded per RFC 3986 encodePath
+   (uppercase hex), RawQuery emitted VERBATIM (so query escapes are never
+   normalized), fragment re-encoded per encodeFragment, ``?`` dropped when
+   RawQuery is empty, ``scheme:opaque`` for opaque URLs, and ``//`` written
+   whenever a scheme is present (even with an empty host).
 
-and the host is additionally width-folded, NFC-normalized and IDNA-ASCII
-encoded (purell.go:162-170). With UnsafeNormalizeURL the reference adds
-FlagRemoveFragment | FlagRemoveDirectoryIndex and clears RawQuery entirely
-(job.go:826-831).
+With UnsafeNormalizeURL the reference adds FlagRemoveFragment |
+FlagRemoveDirectoryIndex and clears RawQuery entirely (job.go:826-831).
 
 Reference resolution of an href against the page URL is Go's
 ``requestURL.Parse(val)`` (job.go:821) — RFC 3986; Python's ``urljoin``
 implements the same algorithm (dot-segment removal happens at resolution
 time, NOT at normalization time — FlagsSafe does not remove dot segments).
+
+``canonicalize`` returns ``None`` where Go ``url.Parse`` would error
+(malformed escape, invalid port, control characters) — callers skip the
+link, matching job.go:822-824.
 
 Spark integration: ``canonicalize_udf`` is an Arrow-batched pandas UDF
 (no row-at-a-time Python UDF registration); within a batch, values are
@@ -27,131 +41,204 @@ per-value slow path for the rest.
 from __future__ import annotations
 
 import re
-import unicodedata
 from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
 
-try:  # idna is available in the sandbox; fall back gracefully elsewhere
-    import idna as _idna
-except ImportError:  # pragma: no cover
-    _idna = None
-
-_UNRESERVED = frozenset(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
-)
 _HEX = frozenset("0123456789abcdefABCDEF")
-# Per-component characters Go's urlesc leaves unescaped beyond unreserved.
-# (sub-delims plus the component-specific extras of RFC 3986.)
-_SAFE_PATH = frozenset("!$&'()*+,;=:@/%")
-_SAFE_QUERY = frozenset("!$&'()*+,;=:@/?%")
-_SAFE_FRAGMENT = frozenset("!$&'()*+,;=:@/?%")
+_ALNUM = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+# urlesc shouldEscape allowed bytes per mode (urlesc.go:28-71):
+# encodePath allows unreserved + sub-delims + ":@/[]" (escapes only ?, #
+# among reserved, everything else non-reserved).
+_ALLOWED_PATH = frozenset((_ALNUM + "-._~" + "!$&'()*+,;=" + ":@/[]").encode())
+# encodeFragment escapes only '#' among reserved.
+_ALLOWED_FRAGMENT = frozenset((_ALNUM + "-._~" + "!$&'()*+,;=" + ":@/[]?").encode())
+# encodeUserPassword escapes ':','/','?','#','[',']','@' among reserved;
+# uiReplacer additionally keeps !'()* literal (urlesc.go:117-129).
+_ALLOWED_USERINFO = frozenset((_ALNUM + "-._~" + "!$&'()*+,;=").encode())
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
-# purell FlagRemoveDirectoryIndex (purell.go:48, rxDirIndex)
+# purell FlagRemoveDirectoryIndex (purell.go:87, rxDirIndex) — applied to
+# the DECODED u.Path before urlesc re-encodes.
 _RX_DIR_INDEX = re.compile(r"(^|/)((?:default|index)\.\w{1,4})$")
 
 
-def _norm_escapes(s: str, safe: frozenset) -> str:
-    """Uppercase %XX, decode unnecessary escapes, encode necessary chars.
-
-    Implements FlagUppercaseEscapes + FlagDecodeUnnecessaryEscapes +
-    FlagEncodeNecessaryEscapes for one URL component.
-    """
-    out = []
+def _decode_component(s: str) -> bytes | None:
+    """Go url.Parse unescape: %XX → byte, other chars → UTF-8 bytes.
+    Returns None on a malformed escape (Go: 'invalid URL escape')."""
+    out = bytearray()
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "%" and i + 2 < n + 1 and i + 3 <= n and s[i + 1] in _HEX and s[i + 2] in _HEX:
-            byte = int(s[i + 1 : i + 3], 16)
-            ch = chr(byte)
-            if ch in _UNRESERVED:
-                out.append(ch)          # decode unnecessary escape
-            else:
-                out.append("%%%02X" % byte)  # uppercase escape
+        if c == "%":
+            if i + 2 >= n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+                return None
+            out.append(int(s[i + 1 : i + 3], 16))
             i += 3
-        elif c in _UNRESERVED or c in safe:
-            out.append(c)
-            i += 1
-        else:  # encode necessary escape (UTF-8 percent-encoding)
-            out.append("".join("%%%02X" % b for b in c.encode("utf-8")))
-            i += 1
-    return "".join(out)
-
-
-def _fold_width(s: str) -> str:
-    """Unicode width folding (purell.go:162-170 uses width.Fold):
-    fullwidth/halfwidth forms → canonical. NFKC on the wide/narrow classes
-    only; approximated here by per-char NFKC for chars with W/F/H east-asian
-    width decompositions, which is what width.Fold does for URLs."""
-    out = []
-    for ch in s:
-        if unicodedata.east_asian_width(ch) in ("F", "H", "W"):
-            out.append(unicodedata.normalize("NFKC", ch))
         else:
-            out.append(ch)
-    return "".join(out)
+            out.extend(c.encode("utf-8"))
+            i += 1
+    return bytes(out)
 
 
-def _norm_host(host: str) -> str:
-    """Lowercase + width-fold + NFC + IDNA-ASCII (purell.go:162-170)."""
-    host = host.strip()
-    if not host:
-        return host
-    host = _fold_width(host)
-    host = unicodedata.normalize("NFC", host)
-    host = host.lower()
-    if _idna is not None and any(ord(c) > 127 for c in host):
-        try:
-            host = _idna.encode(host, uts46=True).decode("ascii")
-        except _idna.IDNAError:
-            pass  # keep as-is; Go's idna is similarly lenient for bad labels
-    return host
+def _encode_bytes(bs: bytes, allowed: frozenset) -> str:
+    """urlesc escape(): allowed bytes literal, the rest %XX uppercase."""
+    return "".join(chr(b) if b in allowed else "%%%02X" % b for b in bs)
 
 
-def canonicalize(url: str, unsafe: bool = False) -> str:
-    """purell-FlagsSafe canonical form of an absolute URL.
+def _reencode(component: str, allowed: frozenset) -> str | None:
+    """Decode-then-re-encode one component (what Go parse + urlesc.Escape
+    net out to). None on malformed escapes."""
+    bs = _decode_component(component)
+    if bs is None:
+        return None
+    return _encode_bytes(bs, allowed)
+
+
+def _split_netloc(netloc: str):
+    """(userinfo|None, host, port|None) — Go parseAuthority shapes.
+    port is the raw string after the last ':' outside brackets ('' allowed:
+    Go keeps 'h:' since FlagRemoveEmptyPortSeparator is not in FlagsSafe)."""
+    userinfo = None
+    hostport = netloc
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+    if hostport.startswith("["):
+        # IPv6 literal: [..]:port
+        end = hostport.find("]")
+        if end < 0:
+            return userinfo, hostport, None  # malformed; Go errors upstream
+        host = hostport[: end + 1]
+        rest = hostport[end + 1 :]
+        port = rest[1:] if rest.startswith(":") else None
+        return userinfo, host, port
+    if ":" in hostport:
+        host, _, port = hostport.rpartition(":")
+        return userinfo, host, port
+    return userinfo, hostport, None
+
+
+def _norm_userinfo(userinfo: str) -> str | None:
+    """Go User.String() via urlesc: decode then re-encode each of
+    user[:password] with encodeUserPassword + uiReplacer relaxations."""
+    if ":" in userinfo:
+        user, _, pw = userinfo.partition(":")
+        u = _reencode(user, _ALLOWED_USERINFO)
+        p = _reencode(pw, _ALLOWED_USERINFO)
+        if u is None or p is None:
+            return None
+        return u + ":" + p
+    return _reencode(userinfo, _ALLOWED_USERINFO)
+
+
+def canonicalize(url: str, unsafe: bool = False) -> str | None:
+    """Reference-parity canonical form of an absolute URL.
 
     ``unsafe=True`` adds FlagRemoveFragment + FlagRemoveDirectoryIndex and
-    strips the query entirely (job.go:826-831).
+    strips the query entirely (job.go:826-831). Returns None where Go
+    url.Parse would reject the URL (the reference skips such links).
     """
     if url is None:
         return None
+    if any(ord(c) < 0x20 or ord(c) == 0x7F for c in url):
+        return None  # Go: "net/url: invalid control character in URL"
     try:
         parts = urlsplit(url)
     except ValueError:
-        return url
+        return None
     scheme = parts.scheme.lower()
-    host = _norm_host(parts.hostname or "")
-    port = parts.port
-    userinfo = ""
-    if parts.username:
-        userinfo = parts.username
-        if parts.password is not None:
-            userinfo += ":" + parts.password
-        userinfo += "@"
-    netloc = userinfo + host
-    if port is not None and _DEFAULT_PORTS.get(scheme) != str(port):
-        netloc += ":%d" % port
-    path = _norm_escapes(parts.path, _SAFE_PATH)
-    query = _norm_escapes(parts.query, _SAFE_QUERY)
-    fragment = _norm_escapes(parts.fragment, _SAFE_FRAGMENT)
+
+    # Opaque form (Go url.Parse: scheme present, rest has no leading '/'):
+    # urlesc renders scheme:opaque?query#fragment with Opaque VERBATIM.
+    rest = url[len(parts.scheme) + 1 :] if parts.scheme else url
+    if scheme and not rest.startswith("/"):
+        opaque = rest.split("#", 1)[0].split("?", 1)[0]
+        out = scheme + ":" + opaque
+        if not unsafe and parts.query:
+            out += "?" + parts.query
+        if not unsafe:
+            frag = _reencode(parts.fragment, _ALLOWED_FRAGMENT)
+            if frag is None:
+                return None
+            if frag:
+                out += "#" + frag
+        return out
+
+    userinfo, host, port = _split_netloc(parts.netloc)
+    if port:  # Go validOptionalPort: digits only
+        if not port.isdigit():
+            return None
+    if userinfo is not None:
+        userinfo = _norm_userinfo(userinfo)
+        if userinfo is None:
+            return None
+    # Go parse decodes %XX in host (encodeHost); then purell lowercases
+    # the whole Host — but NO width folding / NFC / IDNA (NormalizeURL
+    # path, not NormalizeURLString — see module docstring).
+    host_dec = _decode_component(host)
+    if host_dec is None:
+        return None
+    try:
+        host = host_dec.decode("utf-8")
+    except UnicodeDecodeError:
+        host = host_dec.decode("latin-1")
+    host = host.lower()
+    # removeDefaultPort (purell.go:211-221): drop :80/:443 per scheme
+    if port is not None:
+        if port and _DEFAULT_PORTS.get(scheme) == port:
+            port = None
+    netloc = (userinfo + "@" if userinfo is not None else "") + host + (
+        ":" + port if port is not None else ""
+    )
+
+    path = _reencode(parts.path, _ALLOWED_PATH)
+    if path is None:
+        return None
+    fragment = _reencode(parts.fragment, _ALLOWED_FRAGMENT)
+    if fragment is None:
+        return None
+    query = parts.query  # RawQuery verbatim (urlesc.go:170-173)
     if unsafe:
         fragment = ""
-        query = ""           # u.RawQuery = "" (job.go:830)
+        query = ""  # u.RawQuery = "" (job.go:830)
         path = _RX_DIR_INDEX.sub(r"\1", path)
-    out = scheme + "://" + netloc + path if scheme else netloc + path
+
+    # urlesc.Escape assembly (urlesc.go:147-177): '//' whenever scheme or
+    # host or userinfo is present; '/' inserted before a rootless path
+    # only when the host is non-empty.
+    out = scheme + ":" if scheme else ""
+    if scheme or netloc:
+        out += "//" + netloc
+    if path and not path.startswith("/") and host:
+        out += "/"
+    out += path
     if query:
         out += "?" + query
     # FlagRemoveEmptyQuerySeparator: a bare trailing '?' is dropped.
     if fragment:
         out += "#" + fragment
-    # An empty '#' is dropped too (Go url.URL.String() omits it).
+    # An empty '#' is dropped too (urlesc omits empty fragments).
     return out
+
+
+_RX_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+\-.]*:")
+
+
+def go_rejects_ref(ref: str) -> bool:
+    """Go url.Parse rejects a schemeless reference whose first path segment
+    contains a colon ("first path segment in URL cannot contain colon") —
+    urljoin happily resolves those, so gate them out for parity."""
+    if not ref or ref.startswith("/") or _RX_SCHEME.match(ref):
+        return False
+    seg = ref.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    return ":" in seg
 
 
 def resolve_and_canonicalize(base_url: str, href: str, unsafe: bool = False) -> str | None:
     """RFC 3986 reference resolution (Go requestURL.Parse ≡ urljoin),
-    then canonicalization. Returns None for unresolvable hrefs."""
+    then canonicalization. Returns None for unresolvable/invalid hrefs
+    (the reference logs and skips them, job.go:822-824)."""
+    if href is not None and go_rejects_ref(href):
+        return None
     try:
         absolute = urljoin(base_url, href)
     except ValueError:
@@ -160,7 +247,8 @@ def resolve_and_canonicalize(base_url: str, href: str, unsafe: bool = False) -> 
 
 
 def host_of(url: str) -> str:
-    """u.Hostname() (worker.go:100-106, job.go:842): lowercase, no port."""
+    """u.Hostname() (worker.go:100-106): strips port/brackets; lowercase
+    here because every caller reads it AFTER purell lowercased the host."""
     try:
         return (urlsplit(url).hostname or "").lower()
     except ValueError:
@@ -224,8 +312,11 @@ def host_udf():
 
 
 def host_raw(url: str) -> str:
-    """Go url.Hostname(): strips port/userinfo but PRESERVES case —
-    the cross-domain compare is case-sensitive (job.go:842-845)."""
+    """Go url.Hostname() on an UN-normalized URL: strips port/userinfo but
+    preserves case. Used for the SEED side of the cross-domain compare
+    (worker.go:100-106: domainname = url.Parse(SeedUrl).Hostname(), raw
+    case). The CHILD side reads u.Hostname() AFTER purell lowercased
+    u.Host (job.go:826,842) — use the lowercase host for children."""
     from urllib.parse import urlsplit as _us
 
     try:
@@ -246,7 +337,8 @@ def resolve_canon_udf(unsafe: bool = False):
     """pandas UDF (base_url, href) → struct(url_norm, host_raw, host).
 
     One Arrow batch pass per partition performing Go requestURL.Parse
-    (RFC 3986 urljoin) + purell normalization + both hostname flavors."""
+    (RFC 3986 urljoin) + purell normalization + both hostname flavors.
+    Rows where Go url.Parse would error come back all-None (skipped)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(RESOLVED_SCHEMA)
@@ -254,15 +346,23 @@ def resolve_canon_udf(unsafe: bool = False):
         norms, raws, hosts = [], [], []
         for b, h in zip(base, href):
             try:
+                if h is not None and go_rejects_ref(h):
+                    raise ValueError("colon in first path segment")
                 absolute = urljoin(b, h)
                 nurl = canonicalize(absolute, unsafe=unsafe)
-                norms.append(nurl)
-                raws.append(host_raw(absolute))
-                hosts.append((urlsplit(nurl).hostname or "").lower())
             except (ValueError, AttributeError):
+                nurl = None
+            if nurl is None:
                 norms.append(None)
                 raws.append(None)
                 hosts.append(None)
+                continue
+            norms.append(nurl)
+            raws.append(host_raw(absolute))
+            try:
+                hosts.append((urlsplit(nurl).hostname or "").lower())
+            except ValueError:
+                hosts.append("")
         return pd.DataFrame({"url_norm": norms, "host_raw": raws, "host": hosts})
 
     return _resolve

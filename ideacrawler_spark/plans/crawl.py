@@ -88,28 +88,42 @@ class CrawlEngine:
     def _prep_robots(self, robots: DataFrame) -> DataFrame:
         """robots rows → one row per host with the UA-selected rule group.
 
-        Group selection = longest UA-prefix match, '*' weakest
-        (robotstxt.go:162-183), computed relationally: rank each
-        (host, user_agent) group against the fixed client UA and keep the
-        best. Stays fully JVM-side."""
+        Group selection = FindGroup (robotstxt.go:160-181): '*' is the
+        starting candidate with prefix length 1; a named group must be a
+        STRICTLY longer prefix of the client UA to displace it — so a
+        1-char named UA loses to '*'. Computed relationally; stays fully
+        JVM-side. Rules are collected sorted by rule_seq so the UDF sees
+        FILE ORDER (findRule's strict-'>' means the first rule in file
+        order wins ties)."""
         ua = "fetchbot"  # reference default UA (goclient:108), lowercased
+        if "rule_seq" not in robots.columns:
+            robots = robots.withColumn("rule_seq", F.lit(0))
         g = robots.groupBy("host", "user_agent").agg(
-            F.collect_list(
-                F.struct(F.col("rule_path"), F.col("allow"), F.col("fetch_status"))
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rule_seq"), F.col("rule_path"),
+                        F.col("allow"), F.col("fetch_status"),
+                    )
+                )
             ).alias("rules"),
             F.max("crawl_delay").alias("crawl_delay"),
         )
+        is_star = F.lower(F.col("user_agent")) == "*"
         rank = (
-            F.when(F.lower(F.col("user_agent")) == "*", F.lit(0))
+            F.when(is_star, F.lit(1))
             .when(
                 F.lit(ua).startswith(F.lower(F.col("user_agent"))),
                 F.length("user_agent"),
             )
             .otherwise(F.lit(-1))
         )
-        g = g.withColumn("_ua_rank", rank).filter(F.col("_ua_rank") >= 0)
+        g = g.withColumn("_ua_rank", rank).filter(F.col("_ua_rank") >= 1)
+        # ties at rank 1 go to '*' (Go needs strictly greater to displace)
         w = F.row_number().over(
-            Window.partitionBy("host").orderBy(F.desc("_ua_rank"), F.col("user_agent"))
+            Window.partitionBy("host").orderBy(
+                F.desc("_ua_rank"), F.desc(is_star.cast("int")), F.col("user_agent")
+            )
         )
         return (
             g.withColumn("_rn", w).filter(F.col("_rn") == 1)
@@ -124,10 +138,19 @@ class CrawlEngine:
         spec = self.spec
         rows = []
         if spec.seed_url:
+            seed_norm = canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize)
+            if seed_norm is None:
+                # Go url.Parse(SeedUrl) fails ⇒ the job never starts
+                # (worker.go:112-120 jobStatusFailureMessage)
+                self.pushes = []
+                self.frontier = self._empty_frontier()
+                self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+                self.bloom_dir = None
+                return
             rows.append(
                 dict(
                     depth=0, seq=0, url=spec.seed_url,
-                    url_norm=canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize),
+                    url_norm=seed_norm,
                     host=(urlsplit(spec.seed_url).hostname or "").lower(),
                     anchor="", meta="", method="GET", pushed=False,
                     no_callback=False,
@@ -158,10 +181,18 @@ class CrawlEngine:
             return
         rows = []
         for p in ps:
+            pnorm = canonicalize(p["url"])
+            if pnorm is None:
+                # newCrawlCommand's url.Parse error RETURNS out of the
+                # push-handling goroutine (job.go:700-704): the bad push
+                # AND every later push are dropped.
+                self.pushes = [q for q in self.pushes if q["round"] < rnd] + \
+                    [q for q in ps[: ps.index(p)]]
+                break
             rows.append(
                 dict(
                     depth=0, seq=self.seq_offset, url=p["url"],
-                    url_norm=canonicalize(p["url"]),
+                    url_norm=pnorm,
                     host=(urlsplit(p["url"]).hostname or "").lower(),
                     anchor="", meta=p.get("meta", "") or "",
                     method=p.get("method", "GET") or "GET", pushed=True,

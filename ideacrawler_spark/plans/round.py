@@ -95,16 +95,16 @@ def run_round(
     else:
         fr = frontier.withColumn("crawl_delay", F.lit(None).cast("double")) \
                      .withColumn("rules", F.lit(None).cast(
-                         "array<struct<rule_path:string,allow:boolean,fetch_status:int>>"))
+                         "array<struct<rule_seq:int,rule_path:string,"
+                         "allow:boolean,fetch_status:int>>"))
     admitted, carried = admit_budget(fr, _host_budget_col(spec), spec.global_budget())
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 
     # ---- robots allow/deny gate (pandas UDF over the joined rule array) --
-    path_col = F.coalesce(
-        F.nullif(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")),
-        F.lit("/"),
-    )
+    # Go tests agent.Test(v.URL().Path) — the raw (possibly EMPTY) path;
+    # %-decoding happens inside the UDF (u.Path is the decoded form).
+    path_col = F.coalesce(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit(""))
     if spec.impolite:
         allowed = admitted.withColumn("_allowed", F.lit(True))
     else:
@@ -264,11 +264,16 @@ def run_round(
     n_new = new_firsts.count()
     metrics["deduped"] = n_eligible - n_new
 
-    # ---- cross-domain quirk (job.go:842-845): mark seen, don't enqueue ---
+    # ---- cross-domain quirk (job.go:842-845): mark seen, don't enqueue.
+    #      The CHILD host is lowercase (purell mutated u.Host before
+    #      u.Hostname() is read at job.go:842); the SEED side keeps the
+    #      seed URL's raw case (j.domainname, worker.go:100-112) — so a
+    #      mixed-case seed URL matches nothing and the job enqueues no
+    #      children, exactly like the reference.
     if spec.seed_url and not spec.follow_other_domains:
         seed_raw = host_raw(spec.seed_url)
-        cross = new_firsts.filter(F.col("host_raw") != F.lit(seed_raw))
-        children_src = new_firsts.filter(F.col("host_raw") == F.lit(seed_raw))
+        cross = new_firsts.filter(F.col("host") != F.lit(seed_raw))
+        children_src = new_firsts.filter(F.col("host") == F.lit(seed_raw))
     else:
         cross = new_firsts.limit(0)
         children_src = new_firsts

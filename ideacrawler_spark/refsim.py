@@ -12,8 +12,9 @@ it models:
 - per-link pipeline in document order: resolve href against the request URL
   (job.go:821) → purell normalize (job.go:826-832) → per-page urlMap →
   eligibility (job.go:792-806) → seen-check; cross-domain links are marked
-  seen but NOT enqueued (job.go:842-845) with a CASE-SENSITIVE hostname
-  compare (Go url.Hostname() preserves case); enqueued children get
+  seen but NOT enqueued (job.go:842-845) — the child host is LOWERCASE
+  (purell mutated u.Host before u.Hostname() is read) while the seed side
+  keeps the seed URL's raw case (worker.go:100-112); enqueued children get
   depth+1 and inherit metaStr (job.go:846-869);
 - follow gate on the CURRENT page URL (job.go:188): ¬noFollow ∧
   (follow_re ∅ ∨ match(page_url)) ∧ (depth<0 ∨ page_depth<depth);
@@ -44,8 +45,17 @@ from urllib.parse import urljoin, urlsplit
 
 from ideacrawler_spark.config import JobSpec
 from ideacrawler_spark.functions.extract import extract_links
-from ideacrawler_spark.functions.robots import allowed, compile_rules, select_group
-from ideacrawler_spark.functions.urlnorm import canonicalize, host_raw  # noqa: F401
+from ideacrawler_spark.functions.robots import (
+    allowed,
+    compile_rules,
+    decoded_path,
+    select_group,
+)
+from ideacrawler_spark.functions.urlnorm import (  # noqa: F401
+    canonicalize,
+    go_rejects_ref,
+    host_raw,
+)
 
 
 def base_content_type(ct: Optional[str]) -> str:
@@ -88,15 +98,20 @@ def simulate(
     pushes: Optional[List[dict]] = None,
 ) -> SimResult:
     pages_by_url = {p["url"]: p for p in pages}
-    # robots: host → ua-group → (rules, crawl_delay, fetch_status)
+    # robots: host → ua-group → (rules in FILE ORDER, crawl_delay, status)
     robots_groups: Dict[str, Dict[str, dict]] = {}
-    for r in robots or []:
+    for idx, r in enumerate(robots or []):
         g = robots_groups.setdefault(r["host"], {}).setdefault(
             r["user_agent"], {"rules": [], "crawl_delay": 0.0, "fetch_status": 200}
         )
-        g["rules"].append((r["rule_path"], bool(r["allow"])))
+        g["rules"].append(
+            (int(r.get("rule_seq", idx)), r["rule_path"], bool(r["allow"]))
+        )
         g["crawl_delay"] = float(r.get("crawl_delay") or 0.0)
         g["fetch_status"] = int(r.get("fetch_status") or 200)
+    for groups in robots_groups.values():
+        for g in groups.values():
+            g["rules"] = [(p, a) for _, p, a in sorted(g["rules"])]
 
     def robots_group_for(host: str) -> Optional[dict]:
         groups = robots_groups.get(host)
@@ -114,7 +129,7 @@ def simulate(
             compiled_rules[host] = (
                 compile_rules(g["rules"], g["fetch_status"]) if g else None
             )
-        return allowed(compiled_rules[host], path or "/")
+        return allowed(compiled_rules[host], decoded_path(path))
 
     def crawl_delay(host: str) -> float:
         g = robots_group_for(host)
@@ -132,13 +147,17 @@ def simulate(
 
     seed_host_raw = host_raw(spec.seed_url) if spec.seed_url else ""
     if spec.seed_url:
+        seed_norm = canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize)
+        if seed_norm is None:
+            # Go url.Parse(SeedUrl) fails ⇒ job never starts (worker.go:112)
+            return res
         seen[spec.seed_url] = True  # as given, unnormalized (job.go:776)
         frontier.append(
             FrontierEntry(
                 depth=0,
                 seq=seq_counter,
                 url=spec.seed_url,
-                url_norm=canonicalize(spec.seed_url, unsafe=spec.unsafe_normalize),
+                url_norm=seed_norm,
                 host=(urlsplit(spec.seed_url).hostname or "").lower(),
             )
         )
@@ -152,12 +171,20 @@ def simulate(
     while rnd < spec.max_rounds:
         # -- inject client pushes for this round (no normalization, no dedup)
         for p in sorted(pushes_by_round.get(rnd, []), key=lambda x: x.get("seq", 0)):
+            pnorm = canonicalize(p["url"])
+            if pnorm is None:
+                # bad push URL kills the push goroutine: this push and every
+                # later one are dropped (job.go:700-704 returns on error)
+                pushes_by_round = {
+                    r: v for r, v in pushes_by_round.items() if r < rnd
+                }
+                break
             frontier.append(
                 FrontierEntry(
                     depth=0,
                     seq=seq_counter,
                     url=p["url"],
-                    url_norm=canonicalize(p["url"]),  # engine-internal join key only
+                    url_norm=pnorm,  # engine-internal join key only
                     host=(urlsplit(p["url"]).hostname or "").lower(),
                     meta=p.get("meta", "") or "",
                     method=p.get("method", "GET") or "GET",
@@ -189,8 +216,9 @@ def simulate(
                  retried=0)  # reference never retries (fetch.go:415-425)
 
         for e in admitted:
-            # robots gate (fetch.go:401,422-425): denied → dropped silently
-            path = urlsplit(e.url_norm).path or "/"
+            # robots gate (fetch.go:401,422-425): denied → dropped silently;
+            # Go tests the raw (possibly empty) u.Path — no '/' coercion
+            path = urlsplit(e.url_norm).path
             if not robots_allowed(e.host, path):
                 m["robots_denied"] += 1
                 continue
@@ -222,9 +250,9 @@ def simulate(
                 m["errors"] += 1
                 if e.depth == 0:
                     res.shipped.append(
-                        dict(url=e.url, depth=e.depth, anchor_text=e.anchor,
-                             meta=e.meta, status=status, text="",
-                             success=False, round=rnd))
+                        dict(fetch_seq=fetch_seq - 1, url=e.url, depth=e.depth,
+                             anchor_text=e.anchor, meta=e.meta, status=status,
+                             text="", success=False, round=rnd))
                     m["shipped"] += 1
                 continue
             html = page["html"] if page else b""
@@ -236,11 +264,16 @@ def simulate(
             ):
                 url_map: Dict[str, bool] = {}
                 for href, anchor in extract_links(html):
+                    # Go requestURL.Parse error ⇒ link skipped (job.go:822-824)
+                    if go_rejects_ref(href):
+                        continue
                     try:
                         absolute = urljoin(e.url, href)
                     except ValueError:
                         continue
                     nurl = canonicalize(absolute, unsafe=spec.unsafe_normalize)
+                    if nurl is None:
+                        continue
                     url_map[nurl] = True
                     # eligibility (job.go:792-806)
                     req_match = not (
@@ -255,10 +288,13 @@ def simulate(
                     if nurl in seen:
                         m["deduped"] += 1
                         continue
-                    # cross-domain: mark seen, don't enqueue (job.go:842-845);
-                    # case-sensitive raw-hostname compare (Go Hostname()).
+                    # cross-domain: mark seen, don't enqueue (job.go:842-845).
+                    # purell.NormalizeURL mutated u.Host to lowercase BEFORE
+                    # u.Hostname() is read at job.go:842, so the CHILD host is
+                    # lowercase while the SEED side (j.domainname,
+                    # worker.go:100-112) keeps the seed URL's raw case.
                     if spec.seed_url and not spec.follow_other_domains and \
-                            host_raw(absolute) != seed_host_raw:
+                            (urlsplit(nurl).hostname or "") != seed_host_raw:
                         seen[nurl] = True
                         continue
                     method = "HEAD" if spec.check_content else "GET"
@@ -290,8 +326,8 @@ def simulate(
                 cb = xpath_all_equal(html, spec.callback_xpath_regexp)
             if cb:
                 res.shipped.append(
-                    dict(url=e.url, depth=e.depth, anchor_text=e.anchor,
-                         meta=e.meta, status=status,
+                    dict(fetch_seq=fetch_seq - 1, url=e.url, depth=e.depth,
+                         anchor_text=e.anchor, meta=e.meta, status=status,
                          text=page["text"] if page else "",
                          success=True, round=rnd))
                 m["shipped"] += 1

@@ -29,7 +29,7 @@ PAGES_SCHEMA = (
 )
 ROBOTS_SCHEMA = (
     "host string, user_agent string, rule_path string, allow boolean, "
-    "crawl_delay double, fetch_status int"
+    "crawl_delay double, fetch_status int, rule_seq int"
 )
 
 HOSTS = ["hosta.example", "hostb.example", "hostc.example"]
@@ -139,15 +139,15 @@ def synth_web(seed: int = 42, scale: int = 1):
     robots = [
         # hosta: allow all except /tmp* wildcard; no crawl delay
         dict(host="hosta.example", user_agent="*", rule_path="/tmp*", allow=False,
-             crawl_delay=0.0, fetch_status=200),
+             crawl_delay=0.0, fetch_status=200, rule_seq=0),
         # hostb: block the /p/1 prefix (p/1, p/10..p/19), crawl_delay 2s
         dict(host="hostb.example", user_agent="*", rule_path="/p/1", allow=False,
-             crawl_delay=2.0, fetch_status=200),
+             crawl_delay=2.0, fetch_status=200, rule_seq=0),
         dict(host="hostb.example", user_agent="*", rule_path="/p/10", allow=True,
-             crawl_delay=2.0, fetch_status=200),  # longest-match override
+             crawl_delay=2.0, fetch_status=200, rule_seq=1),  # longest-match override
         # hostc: robots 404 ⇒ allow everything
         dict(host="hostc.example", user_agent="*", rule_path="/", allow=False,
-             crawl_delay=0.0, fetch_status=404),
+             crawl_delay=0.0, fetch_status=404, rule_seq=0),
     ]
 
     seeds = [dict(job_id="job1", url="http://hosta.example/p/0", seq=0)]

@@ -49,8 +49,12 @@ def test_canonicalize_unsafe_idempotent(u):
 @settings(max_examples=300, deadline=None)
 @given(urls())
 def test_canonicalize_preserves_host_identity(u):
-    # the canonical host equals the lowercased parsed host (ASCII inputs)
-    assert host_of(canonicalize(u)) == host_of(u).lower()
+    # the canonical host equals the lowercased parsed host (ASCII inputs);
+    # None means Go url.Parse would reject the URL (e.g. a stray '%') and
+    # the reference skips it — no host identity to preserve there.
+    c = canonicalize(u)
+    if c is not None:
+        assert host_of(c) == host_of(u).lower()
 
 
 @settings(max_examples=200, deadline=None)

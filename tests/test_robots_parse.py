@@ -31,23 +31,70 @@ def test_parse_groups_and_rules():
     assert {(r["rule_path"], r["allow"]) for r in star} == {
         ("/private", False), ("/private/ok", True)}
     assert all(r["crawl_delay"] == 2.5 for r in star)
-    # consecutive UA lines share one group (parser.go:75-84)
+    # consecutive UA lines share one group (parser.go:75-84); the rule
+    # value is normalized at parse time: trailing '*' stripped
+    # (parser.go:183-192 returnPathVal)
     fb = [r for r in rows if r["user_agent"] == "fetchbot"]
     ob = [r for r in rows if r["user_agent"] == "otherbot"]
-    assert [(r["rule_path"], r["allow"]) for r in fb] == [("/tmp*", False)]
-    assert [(r["rule_path"], r["allow"]) for r in ob] == [("/tmp*", False)]
-    # empty Disallow ⇒ no rule, but the group exists (marker row)
+    assert [(r["rule_path"], r["allow"]) for r in fb] == [("/tmp", False)]
+    assert [(r["rule_path"], r["allow"]) for r in ob] == [("/tmp", False)]
+    # Go quirk: 'Disallow:' with an empty value mid-file makes the NEWLINE
+    # token the value (parseLine peeks the next token), so emptybot gets a
+    # never-matching '/\n' rule — it exists as a group but allows all
     eb = [r for r in rows if r["user_agent"] == "emptybot"]
-    assert len(eb) == 1 and eb[0]["rule_path"] == "" and eb[0]["allow"]
+    assert [(r["rule_path"], r["allow"]) for r in eb] == [("/\n", False)]
 
 
 def test_parse_edge_cases():
     assert parse_robots_txt(None) == []
     assert parse_robots_txt("") == []
-    assert parse_robots_txt("Disallow: /x") == []  # rule before UA: ignored
+    # a rule before any User-agent is a PARSE ERROR that fails the whole
+    # file (parser.go:86-92) → getRobotAgent nil → allow-all (None)
+    assert parse_robots_txt("Disallow: /x") is None
+    assert parse_robots_txt("User-agent: a\nCrawl-delay: abc") is None
     assert parse_robots_txt(b"User-agent: *\nDisallow: /a") == [
-        dict(user_agent="*", rule_path="/a", allow=False, crawl_delay=0.0)
+        dict(user_agent="*", rule_path="/a", allow=False, crawl_delay=0.0,
+             rule_seq=0)
     ]
+
+
+def test_parse_go_quirks():
+    # leading '/' added when the value starts with neither '*' nor '/'
+    rows = parse_robots_txt("User-agent: *\nDisallow: foo")
+    assert rows[0]["rule_path"] == "/foo"
+    # 'Disallow: *' strips to empty — a rule that can never win
+    rows = parse_robots_txt("User-agent: *\nDisallow: *")
+    assert rows[0]["rule_path"] == ""
+    # Sitemap does NOT close the UA run: a and b share one group in Go
+    rows = parse_robots_txt(
+        "User-agent: a\nSitemap: http://x/s.xml\nUser-agent: b\nDisallow: /c"
+    )
+    assert {(r["user_agent"], r["rule_path"]) for r in rows} == {
+        ("a", "/c"), ("b", "/c")}
+    # agents are lowercased at parse time (parser.go:221-227)
+    rows = parse_robots_txt("User-agent: FetchBot\nDisallow: /x")
+    assert rows[0]["user_agent"] == "fetchbot"
+    # the same agent in two runs MERGES (groups are a map); rules keep
+    # file order via rule_seq and the later Crawl-delay overwrites
+    rows = parse_robots_txt(
+        "User-agent: a\nDisallow: /one\nCrawl-delay: 1\n"
+        "User-agent: b\nDisallow: /b\n"
+        "User-agent: a\nDisallow: /two\nCrawl-delay: 9\n"
+    )
+    a = sorted(
+        [(r["rule_seq"], r["rule_path"]) for r in rows if r["user_agent"] == "a"]
+    )
+    assert [p for _, p in a] == ["/one", "/two"]
+    assert all(r["crawl_delay"] == 9.0 for r in rows if r["user_agent"] == "a")
+    # 'useragent' / 'crawldelay' spellings accepted (parser.go:220,247)
+    rows = parse_robots_txt("useragent: x\ncrawldelay: 3\nDisallow: /y")
+    assert rows == [
+        dict(user_agent="x", rule_path="/y", allow=False, crawl_delay=3.0,
+             rule_seq=0)
+    ]
+    # mid-token '#' is NOT a comment (scanner only skips '#' at token start)
+    rows = parse_robots_txt("User-agent: *\nDisallow: /a#b  # real comment")
+    assert rows[0]["rule_path"] == "/a#b"
 
 
 def test_engine_with_text_robots_matches_fixture(spark, web, web_dfs):

@@ -1,13 +1,19 @@
-"""Golden vectors for purell-FlagsSafe parity (FIXTURES.md canonicalize_cases).
+"""Golden vectors for reference URL-normalization parity.
 
-Each case exercises one purell flag (vendor/.../purell/purell.go:28-59) or a
-host-normalization rule (purell.go:162-170)."""
+The reference pipeline is Go url.Parse → purell.NormalizeURL(FlagsSafe) →
+urlesc.Escape (job.go:821-832). Key consequences, each exercised below:
+the escape flags act through parse-decode + urlesc-re-encode (path and
+fragment only), the QUERY is emitted verbatim (urlesc.go:170-173), hosts
+are lowercased but never IDNA/width/NFC-normalized (NormalizeURL, not
+NormalizeURLString — purell.go:152-184), and URLs Go's url.Parse rejects
+come back as None (the reference skips those links, job.go:822-824)."""
 
 import pytest
 
 from ideacrawler_spark.functions.urlnorm import (
     canonicalize,
     canonicalize_series,
+    go_rejects_ref,
     host_of,
     resolve_and_canonicalize,
 )
@@ -20,34 +26,58 @@ SAFE_CASES = [
     ("http://example.com:80/a", "http://example.com/a"),
     ("https://example.com:443/a", "https://example.com/a"),
     ("http://example.com:8080/a", "http://example.com:8080/a"),
-    # FlagUppercaseEscapes
+    # path escapes: uppercased via decode+re-encode (urlesc encodePath)
     ("http://example.com/a%3fb", "http://example.com/a%3Fb"),
-    # FlagDecodeUnnecessaryEscapes (%41='A', %7E='~', %34='4')
+    # unnecessary path escapes decoded (%41='A', %7E='~', %34='4')
     ("http://example.com/%41%7e/%34%32", "http://example.com/A~/42"),
-    # FlagEncodeNecessaryEscapes (space, non-ascii path char)
+    # necessary path chars encoded (space, non-ascii)
     ("http://example.com/a b", "http://example.com/a%20b"),
     ("http://example.com/año", "http://example.com/a%C3%B1o"),
     # FlagRemoveEmptyQuerySeparator
     ("http://example.com/a?", "http://example.com/a"),
     ("http://example.com/a?x=1", "http://example.com/a?x=1"),
-    # fragments are KEPT by FlagsSafe
+    # fragments are KEPT by FlagsSafe (decoded + re-encoded per urlesc)
     ("http://example.com/a#sec", "http://example.com/a#sec"),
-    # empty fragment dropped (Go url.String() omits bare '#')
+    ("http://example.com/a#s%41c", "http://example.com/a#sAc"),
+    # empty fragment dropped (urlesc omits empty fragments)
     ("http://example.com/a#", "http://example.com/a"),
     # dot segments NOT removed by FlagsSafe (removed at resolution only)
     ("http://example.com/a/../b", "http://example.com/a/../b"),
-    # query escapes normalized too
-    ("http://example.com/a?k=%3d", "http://example.com/a?k=%3D"),
-    # IDNA host
-    ("http://müller.example/a", "http://xn--mller-kva.example/a"),
+    # QUERY IS VERBATIM: urlesc emits u.RawQuery untouched, so escapes are
+    # NOT uppercased/decoded there (urlesc.go:170-173)
+    ("http://example.com/a?k=%3d", "http://example.com/a?k=%3d"),
+    ("http://example.com/a?k=%41", "http://example.com/a?k=%41"),
+    # NO IDNA: the reference calls NormalizeURL (purell.go:177), so the
+    # host is lowercased but never punycoded
+    ("http://Müller.example/a", "http://müller.example/a"),
     # preserved port + userinfo
     ("http://user:pw@Example.com:81/x", "http://user:pw@example.com:81/x"),
+    # empty port separator is kept (FlagRemoveEmptyPortSeparator not in
+    # FlagsSafe; Go validOptionalPort allows ':')
+    ("http://example.com:/a", "http://example.com:/a"),
+    # opaque URLs render as scheme:opaque (urlesc.go:152-156)
+    ("mailto:Bob@Example.com", "mailto:Bob@Example.com"),
+    ("javascript:void(0)", "javascript:void(0)"),
 ]
 
 
 @pytest.mark.parametrize("raw,expected", SAFE_CASES)
 def test_canonicalize_safe(raw, expected):
     assert canonicalize(raw) == expected
+
+
+# Go url.Parse rejects these; the reference skips the link (job.go:822-824)
+REJECT_CASES = [
+    "http://example.com/a%zzb",      # malformed path escape
+    "http://example.com/a#f%zz",     # malformed fragment escape
+    "http://example.com:8x/a",       # invalid port
+    "http://example.com/a\x00b",     # control character
+]
+
+
+@pytest.mark.parametrize("raw", REJECT_CASES)
+def test_canonicalize_rejects(raw):
+    assert canonicalize(raw) is None
 
 
 UNSAFE_CASES = [
@@ -77,6 +107,14 @@ RESOLVE_CASES = [
     ("http://h.example/a/b", "HTTP://UP.example:80/Y", "http://up.example/Y"),
     ("http://h.example/a/b", "", "http://h.example/a/b"),
     ("http://h.example/x/../a/b", "c", "http://h.example/a/c"),
+    # absolute hrefs with a scheme pass through (opaque or hierarchical)
+    ("http://h.example/a/b", "mailto:x@y.z", "mailto:x@y.z"),
+    # Go rejects a schemeless ref with ':' in the first path segment
+    # ("first path segment in URL cannot contain colon") — skipped
+    ("http://h.example/a/b", "1a:b", None),
+    # 'video.mp4' is a syntactically valid scheme (alpha then alnum/+-.),
+    # so Go parses this as an opaque absolute URL, not a relative path
+    ("http://h.example/a/b", "video.mp4:stream", "video.mp4:stream"),
 ]
 
 
@@ -85,10 +123,18 @@ def test_resolve_and_canonicalize(base, href, expected):
     assert resolve_and_canonicalize(base, href) == expected
 
 
+def test_go_rejects_ref_shapes():
+    assert go_rejects_ref("1a:b") is True
+    assert go_rejects_ref("a/b:c") is False       # colon not in FIRST segment
+    assert go_rejects_ref("/x:y") is False        # rooted path is fine
+    assert go_rejects_ref("mailto:x") is False    # valid scheme
+    assert go_rejects_ref("x?q=a:b") is False     # colon in query
+
+
 def test_canonicalize_series_matches_scalar():
     import pandas as pd
 
-    raws = [c[0] for c in SAFE_CASES] + [
+    raws = [c[0] for c in SAFE_CASES] + REJECT_CASES + [
         "http://already.example/clean/path",
         "http://hosta.example/p/7",
         None,
@@ -103,6 +149,7 @@ def test_canonicalize_series_matches_scalar():
 
 def test_host_helpers():
     assert host_of("http://UP.Example:8080/x") == "up.example"
-    # Go Hostname() preserves case — the cross-domain quirk (job.go:842-845)
+    # Go Hostname() on the raw seed URL preserves case — the SEED side of
+    # the cross-domain compare (worker.go:100-112)
     assert host_raw("http://UP.Example:8080/x") == "UP.Example"
     assert host_raw("http://u:p@H.ex/x") == "H.ex"
