@@ -80,6 +80,82 @@ class JobSpec:
         per_slot = max(1, int(self.round_seconds // self.effective_delay_s))
         return max(1, int(self.max_concurrent)) * per_slot
 
+    def realized_global_budget(self, sampler: "DelaySampler") -> int:
+        """Round-global cap under the RANDOMIZED delay (P4).
+
+        When MaxDelay > MinDelay the reference draws each request's delay
+        from the randChan sampler (doer.go:62-71); a request holds one of
+        the max_concurrent semaphore slots for its sampled delay. The
+        realized round budget is how many requests start before
+        round_seconds across the slots — computed by greedy slot
+        simulation over the SAME deterministic sampler in both the Spark
+        engine and the reference simulator, so goldens line up. With
+        MaxDelay <= MinDelay this degenerates to global_budget() exactly
+        (and consumes no draws)."""
+        if int(self.max_delay_s) <= self.effective_delay_s:
+            return self.global_budget()
+        import heapq
+
+        slots = [0.0] * max(1, int(self.max_concurrent))
+        heapq.heapify(slots)
+        n = 0
+        while True:
+            t = heapq.heappop(slots)
+            if t >= self.round_seconds:
+                return max(1, n)
+            heapq.heappush(slots, t + sampler.next())
+            n += 1
+
+
+class DelaySampler:
+    """The reference's randomized-delay generator (doer.go:93-112).
+
+    ``genRand(min, max)`` redraws int((N(0,1)+1)*(max-min)/2 + min) until
+    the value is >= min (no upper clamp — the normal tail can exceed max).
+    Every jj-th draw (jj itself resampled from genRand(5, 20)) emits a
+    BURST delay from genRand(max, 3*max). The reference seeds its PRNG
+    from wall-clock (main_test.go:23 rand.Seed(UnixNano)) so no bit-level
+    parity is possible or meaningful; this sampler is seeded from the
+    job id so the engine and the simulator draw the SAME sequence and the
+    crawl stays deterministic and resumable (resume replays the per-round
+    draw sequence from round 0)."""
+
+    def __init__(self, min_delay: int, max_delay: int, seed: int):
+        import numpy as np
+
+        self._rng = np.random.Generator(np.random.PCG64(int(seed) & ((1 << 63) - 1)))
+        self.min = max(int(min_delay), 1)
+        self.max = int(max_delay)
+        self._ii = 0
+        self._jj = 5
+
+    @classmethod
+    def for_spec(cls, spec: "JobSpec") -> "DelaySampler":
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.md5(spec.job_id.encode("utf-8")).digest()[:8], "big"
+        )
+        return cls(spec.min_delay_s, spec.max_delay_s, seed)
+
+    def _gen(self, lo: int, hi: int) -> int:
+        v = 0
+        while v < lo:
+            v = int((self._rng.standard_normal() + 1.0) * (hi - lo) / 2.0 + lo)
+        return v
+
+    def next(self) -> int:
+        """Next realized per-request delay in seconds."""
+        if self.max <= self.min:
+            return self.min  # degenerate fixed-delay mode (MaxDelay=0)
+        if self._ii >= self._jj:
+            # burst draw; Go's `continue` still runs the loop's ii++
+            self._jj = self._gen(5, 20)
+            self._ii = 1
+            return self._gen(self.max, self.max * 3)
+        self._ii += 1
+        return self._gen(self.min, self.max)
+
 
 def jobspec_from_row(row) -> JobSpec:
     """Build a JobSpec from a row of the fixture ``job_specs`` table."""

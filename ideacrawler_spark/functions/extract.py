@@ -1,54 +1,173 @@
-"""Link extraction — the ``a[href]`` scan of the reference.
+"""Link + resource extraction — the ``a[href]`` scan of the reference.
 
 The reference uses goquery's CSS selector ``doc.Find("a[href]")`` in
 document order, takes the raw ``href`` attribute and the whitespace-trimmed
 text content of the anchor (/root/reference/job.go:816-825).
 
-No HTML parser library ships in this sandbox (lxml/selectolax/bs4 absent),
-so extraction is a strict regex scanner over the fixture-HTML contract
-(FIXTURES.md): anchors are written as ``<a ... href="...">inner</a>`` with
-double-quoted hrefs and no nested anchors. For that subset the scanner is
-exactly goquery-equivalent: document order, raw href value, text content
-with inner tags stripped and TrimSpace applied. On a production cluster the
-body of ``extract_links`` would swap to selectolax with the same signature.
+No HTML parser LIBRARY ships in this sandbox (lxml/selectolax/bs4 absent),
+so extraction runs on the stdlib ``html.parser`` tokenizer — like Go's
+net/html it handles single-quoted/unquoted attributes, entity references,
+stray ``<``, unclosed tags and nested elements. Two net/html behaviors are
+replicated explicitly: an ``<a>`` opening inside an open ``<a>`` implicitly
+closes the previous one (anchors never nest in the HTML5 tree), and
+``<script>`` content is raw text (so goquery's dead-code
+``script ⊃ link`` branch in prefetchurl.go:63-66 matches nothing here
+either).
 
-Spark integration: Arrow-batched pandas UDF returning
-``array<struct<href:string, anchor:string>>`` which callers ``posexplode``
-to get the per-page link index (the discovery-order tiebreak).
+``extract_resources`` mirrors the prefetch extractor
+(/root/reference/prefetchurl/prefetchurl.go:34-157): script ``src``, then
+``link href`` (rel != "prefetch"), then img ``data-img-src``/``src``; for
+``*.css`` URLs the ``url(...)`` regex over the text instead. validateLink
+parity: the last path segment must contain ``.<word>`` (the reference's
+``^*\\.\\w`` compiles to an unanchored ``\\.\\w``), ``.xml`` is skipped,
+links starting with "http" pass through VERBATIM (no resolution), others
+resolve against the page URL — and no purell normalization anywhere.
+
+Spark integration: Arrow-batched pandas UDFs returning
+``array<struct<href:string, anchor:string>>`` (callers ``posexplode`` for
+the per-page link index) and ``array<string>`` for resources.
 """
 
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+from urllib.parse import urljoin
 
 import pandas as pd
 
-# Document-order anchor scanner for the fixture-HTML subset.
-_RX_ANCHOR = re.compile(
-    rb'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>',
-    re.DOTALL | re.IGNORECASE,
-)
 _RX_TAG = re.compile(rb"<[^>]+>")
+
+
+class _DocScanner(HTMLParser):
+    """One-pass scanner collecting a[href] anchors (document order, inner
+    text, implicit close on nested <a>) and the prefetch resource
+    attributes (script src / link href / img src|data-img-src)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: List[Tuple[str, str]] = []
+        self._href: Optional[str] = None
+        self._text: List[str] = []
+        self.script_srcs: List[str] = []
+        self.link_hrefs: List[str] = []
+        self.img_srcs: List[str] = []
+
+    def _close_anchor(self):
+        if self._href is not None:
+            self.links.append((self._href, "".join(self._text).strip()))
+        self._href = None
+        self._text = []
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "a":
+            # net/html: a new <a> implicitly closes an open one
+            self._close_anchor()
+            if "href" in d and d["href"] is not None:
+                self._href = d["href"]
+                self._text = []
+        elif tag == "script":
+            src = (d.get("src") or "").strip()
+            if src:
+                self.script_srcs.append(src)
+        elif tag == "link":
+            if (d.get("rel") or "").strip() != "prefetch":
+                href = (d.get("href") or "").strip()
+                if href:
+                    self.link_hrefs.append(href)
+        elif tag == "img":
+            data_src = (d.get("data-img-src") or "").strip()
+            if data_src:
+                self.img_srcs.append(data_src)
+            src = (d.get("src") or "").strip()
+            if src:
+                self.img_srcs.append(src)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._close_anchor()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._text.append(data)
+
+    def close(self):
+        super().close()
+        self._close_anchor()
+
+
+def _scan(html: bytes | str | None) -> _DocScanner:
+    p = _DocScanner()
+    if html is None:
+        return p
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", "replace")
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # noqa: BLE001 — parser never takes down a batch
+        p._close_anchor()
+    return p
 
 
 def extract_links(html: bytes | str | None) -> List[Tuple[str, str]]:
     """Return [(href, anchor_text), ...] in document order.
 
     href is the raw attribute value (resolution + normalization happen
-    downstream, job.go:821-832); anchor text is the tag-stripped inner text
-    with strings.TrimSpace semantics (job.go:818).
-    """
+    downstream, job.go:821-832); anchor text is the inner text with
+    strings.TrimSpace semantics (job.go:818)."""
+    return _scan(html).links
+
+
+# ---- S6: resource/prefetch URL extraction (prefetchurl.go) ----------------
+
+# last path segment must contain '.<word char>' — the reference compiles
+# `^*\.\w` which RE2 treats as an unanchored `\.\w` (prefetchurl.go:35)
+_RX_VALID_SEG = re.compile(r"\.\w")
+_RX_CSS_URL = re.compile(r"url\(['\"]?([^\)\(]+?)['\"]?\)")
+
+
+def _validate_link(page_url: str, link: str) -> Optional[str]:
+    """validateLink (prefetchurl.go:34-53): extension-ish last segment,
+    no .xml, http-prefixed links verbatim, others resolved (plain net/url
+    resolution — no purell)."""
+    seg = link.split("/")[-1]
+    if _RX_VALID_SEG.search(seg) is None:
+        return None
+    if link.endswith(".xml"):
+        return None
+    if link.startswith("http"):
+        return link
+    try:
+        return urljoin(page_url, link)
+    except ValueError:
+        return None
+
+
+def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
+    """GetPrefetchURLs (prefetchurl.go:131-157): css-embedded url(...) for
+    *.css page URLs, else script/link/img sources in selector-group order."""
     if html is None:
         return []
-    if isinstance(html, str):
-        html = html.encode("utf-8")
+    if page_url.endswith(".css"):
+        if isinstance(html, bytes):
+            text = html.decode("utf-8", "replace")
+        else:
+            text = html
+        cands = [m.group(1) for m in _RX_CSS_URL.finditer(text)]
+    else:
+        p = _scan(html)
+        cands = p.script_srcs + p.link_hrefs + p.img_srcs
     out = []
-    for m in _RX_ANCHOR.finditer(html):
-        href = m.group(1).decode("utf-8", "replace")
-        inner = _RX_TAG.sub(b"", m.group(2))
-        anchor = inner.decode("utf-8", "replace").strip()
-        out.append((href, anchor))
+    for link in cands:
+        v = _validate_link(page_url, link)
+        if v:
+            out.append(v)
     return out
 
 
@@ -108,3 +227,32 @@ def extract_links_udf():
         return html.map(lambda b: extract_links(b))
 
     return _extract
+
+
+def extract_resources_udf():
+    """pandas UDF: (html binary, page url) → array<string> of prefetch
+    resource URLs (S6, prefetchurl.go — the fetch side-effect itself is a
+    declared non-goal; this is its extraction surface)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _resources(html: pd.Series, url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_resources(b, u or "") for b, u in zip(html, url)],
+            index=html.index,
+        )
+
+    return _resources
+
+
+def resources_table(pages):
+    """pages(url, html) → exploded (url, pos, resource) table — the
+    ``outlinks_resources`` sink named in SURVEY §2.2."""
+    from pyspark.sql import functions as F
+
+    return pages.select(
+        "url",
+        F.posexplode(
+            extract_resources_udf()(F.col("html"), F.col("url"))
+        ).alias("pos", "resource"),
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.config import DelaySampler, JobSpec
 from ideacrawler_spark.functions.urlnorm import canonicalize
 from ideacrawler_spark.plans.round import FRONTIER_SCHEMA, run_round
 
@@ -73,6 +73,10 @@ class CrawlEngine:
         self.nparts = shuffle_partitions
         self.bloom_shards = bloom_shards
         self.seen_filter = seen_filter
+        # P4: randomized per-request delay sampler (doer.go:93-112); with
+        # MaxDelay<=MinDelay it consumes no draws and budgets are fixed
+        self._sampler = DelaySampler.for_spec(spec)
+        self._cancelled = False
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -264,6 +268,11 @@ class CrawlEngine:
         # shard count is a property of the persisted state, not the caller
         self.bloom_shards = int(manifest.get("bloom_shards", self.bloom_shards))
         self.seen_filter = manifest.get("seen_filter", self.seen_filter)
+        # P4 resume: replay the per-round budget draws for the committed
+        # rounds so the sampler state matches the uninterrupted run
+        self._sampler = DelaySampler.for_spec(self.spec)
+        for _ in range(self.round):
+            self.spec.realized_global_budget(self._sampler)
         return True
 
     def _update_shards_fn(self):
@@ -279,6 +288,10 @@ class CrawlEngine:
         pending frontier rows at round start (0 ⇒ idle round)."""
         rnd = self.round
         self._inject_pushes(rnd)
+        # realized global budget is drawn EVERY round (idle ones included)
+        # so the sampler sequence replays identically on resume and stays
+        # in lockstep with the reference simulator's per-round draws
+        global_budget = self.spec.realized_global_budget(self._sampler)
         n_pending = self.frontier.count()
         if n_pending == 0:
             # idle round: only future pushes remain (refsim does the same)
@@ -296,6 +309,7 @@ class CrawlEngine:
             bloom_dir=self.bloom_dir,
             bloom_shards=self.bloom_shards,
             seen_filter=self.seen_filter,
+            global_budget=global_budget,
         )
         # materialize round outputs (atomic commit when checkpointing)
         shipped = self._materialize(res.shipped, "shipped", rnd)
@@ -342,10 +356,24 @@ class CrawlEngine:
         self.round += 1
         return n_pending
 
+    def cancel(self):
+        """Live cancel — the CancelJob analogue (worker.go:271-287,
+        job.go:676-689): the reference closes cancelChan, every per-host
+        worker breaks its loop and DRAINS its queue without processing
+        (fetch.go:172-184, 368-372), so in-flight work is discarded.
+
+        The engine's unit of in-flight work is one atomically-committed
+        round, so cancellation takes effect at the next round boundary:
+        committed rounds stay visible, the uncommitted round (if any) is
+        discarded exactly like a crash, and ``resume()`` continues the
+        job later. Cancel-at-round-k + resume therefore equals the
+        uninterrupted run (test_cancel_resume_equivalence)."""
+        self._cancelled = True
+
     def drain(self):
         """Run rounds until the frontier is empty (all-hosts-idle analogue,
-        fetch.go:430-444) or max_rounds hits."""
-        while self.round < self.spec.max_rounds:
+        fetch.go:430-444), cancel() fires, or max_rounds hits."""
+        while self.round < self.spec.max_rounds and not self._cancelled:
             if self.frontier.count() == 0 and not self._has_future_pushes(self.round):
                 break
             self.step()

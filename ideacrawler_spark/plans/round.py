@@ -86,8 +86,11 @@ def run_round(
     bloom_dir: Optional[str] = None,
     bloom_shards: int = 64,
     seen_filter: str = "bloom",
+    global_budget: Optional[int] = None,
 ) -> RoundResult:
     metrics = dict(round=rnd)
+    if global_budget is None:
+        global_budget = spec.global_budget()
 
     # ---- politeness: join per-host robots dim, compute budgets, admit ----
     if robots_host is not None:
@@ -97,7 +100,7 @@ def run_round(
                      .withColumn("rules", F.lit(None).cast(
                          "array<struct<rule_seq:int,rule_path:string,"
                          "allow:boolean,fetch_status:int>>"))
-    admitted, carried = admit_budget(fr, _host_budget_col(spec), spec.global_budget())
+    admitted, carried = admit_budget(fr, _host_budget_col(spec), global_budget)
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 

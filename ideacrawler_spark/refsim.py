@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 from urllib.parse import urljoin, urlsplit
 
-from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.config import DelaySampler, JobSpec
 from ideacrawler_spark.functions.extract import extract_links
 from ideacrawler_spark.functions.robots import (
     allowed,
@@ -135,6 +135,10 @@ def simulate(
         g = robots_group_for(host)
         return float(g["crawl_delay"]) if g and not spec.impolite else 0.0
 
+    # P4: one realized-budget draw per round, same sampler seed as the
+    # engine (job_id-derived) so both sides see identical budgets
+    delay_sampler = DelaySampler.for_spec(spec)
+
     follow_re = _compile(spec.follow_url_regexp)
     cb_url_re = _compile(spec.callback_url_regexp)
     cb_anchor_re = _compile(spec.callback_anchor_regexp)
@@ -206,7 +210,7 @@ def simulate(
             admitted.extend(entries[:hb])
             carried.extend(entries[hb:])
         admitted.sort(key=lambda e: (e.depth, e.seq))
-        gb = spec.global_budget()
+        gb = spec.realized_global_budget(delay_sampler)
         carried.extend(admitted[gb:])
         admitted = admitted[:gb]
         frontier = carried

@@ -94,6 +94,44 @@ def test_crash_resume_equivalence(spark, web, web_dfs, tmp_path):
     assert _final_state(out2) == ref_state
 
 
+def test_cancel_resume_equivalence(spark, web, web_dfs, tmp_path):
+    """Live cancel (CancelJob analogue, worker.go:271-287): cancelling a
+    DRAINING job between rounds, then resuming it, must equal the
+    uninterrupted crawl — committed rounds survive, nothing else does."""
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    full_spec = _spec(max_rounds=8, depth=3)
+    ref = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ref"),
+                      shuffle_partitions=8, bloom_shards=8).run()
+    ref_state = _final_state(ref)
+    assert ref["rounds"] > 3
+
+    # cancel a LIVE engine mid-drain: after round 3 commits, cancel()
+    # fires (as the reference's CancelJob would from another goroutine)
+    ck = str(tmp_path / "cancel")
+    eng = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8)
+    eng._init_state()
+    orig_step = eng.step
+
+    def step_then_maybe_cancel():
+        n = orig_step()
+        if eng.round >= 3:
+            eng.cancel()
+        return n
+
+    eng.step = step_then_maybe_cancel
+    eng.drain()
+    assert eng.round == 3  # drain stopped at the cancel point
+    assert eng.frontier.count() > 0  # genuinely mid-crawl
+
+    eng2 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8)
+    out2 = eng2.run(resume=True)
+    assert _final_state(out2) == ref_state
+
+
 def test_cuckoo_shard_roundtrip(spark, tmp_path):
     from ideacrawler_spark.operators import cuckoo
     from pyspark.sql import functions as F

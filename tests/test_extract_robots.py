@@ -21,6 +21,87 @@ def test_extract_empty_and_none():
     assert extract_links(b"<html></html>") == []
 
 
+def test_extract_dirty_html():
+    """net/html-grade robustness: single-quoted/unquoted attrs, entity
+    refs, implicit close of nested anchors, unclosed tags, stray '<'."""
+    html = (
+        b"<body><a href='/sq'>single</a>"
+        b"<a href=/uq>unquoted</a>"
+        b'<a href="/amp">Tom &amp; Jerry</a>'
+        b'<a href="/outer">outer <a href="/inner">inner</a> tail'
+        b'<div><a href="/unclosed">unclosed anchor</body>'
+    )
+    links = extract_links(html)
+    assert ("/sq", "single") in links
+    assert ("/uq", "unquoted") in links
+    assert ("/amp", "Tom & Jerry") in links  # entities decoded like net/html
+    # nested <a> implicitly closes the outer one (HTML5 tree construction)
+    idx_outer = links.index(("/outer", "outer"))
+    assert links[idx_outer + 1][0] == "/inner"
+    assert links[-1][0] == "/unclosed"  # EOF closes the dangling anchor
+
+
+def test_extract_resources_prefetch_parity():
+    """prefetchurl.go vectors: selector-group order, rel=prefetch skip,
+    data-img-src before src, extension filter, .xml skip, http verbatim."""
+    from ideacrawler_spark.functions.extract import extract_resources
+
+    html = b"""<html><head>
+      <script src="/js/app.js"></script>
+      <script>inline()</script>
+      <link rel="stylesheet" href="/css/site.css">
+      <link rel="prefetch" href="/skip/prefetched.js">
+      <link rel="alternate" href="/feed.xml">
+      </head><body>
+      <img data-img-src="/img/lazy.png" src="cdn/pic.jpg">
+      <img src="http://cdn.example/abs.gif">
+      <img src="/noext/image">
+      <a href="/page.html">not a resource</a>
+      </body></html>"""
+    got = extract_resources(html, "http://h.example/dir/page.html")
+    assert got == [
+        "http://h.example/js/app.js",          # resolved script src
+        "http://h.example/css/site.css",       # link rel!=prefetch
+        "http://h.example/img/lazy.png",       # data-img-src first
+        "http://h.example/dir/cdn/pic.jpg",    # relative img src
+        "http://cdn.example/abs.gif",          # http prefix → verbatim
+    ]
+    # .xml skipped, rel=prefetch skipped, extensionless skipped
+
+
+def test_extract_resources_css_mode():
+    from ideacrawler_spark.functions.extract import extract_resources
+
+    css = b"body { background: url('/img/bg.png'); } " \
+          b".x { background: url(\"../sprite.gif\") } " \
+          b".y { content: url(fonts/f.woff2) }"
+    got = extract_resources(css, "http://h.example/css/site.css")
+    assert got == [
+        "http://h.example/img/bg.png",
+        "http://h.example/sprite.gif",
+        "http://h.example/css/fonts/f.woff2",
+    ]
+
+
+def test_resources_table_spark(spark):
+    from ideacrawler_spark.functions.extract import resources_table
+
+    rows = [
+        ("http://h/x.html",
+         b'<script src="/a.js"></script><img src="/b.png">'),
+        ("http://h/y.html", b"<p>nothing</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(
+        (r["url"], r["pos"], r["resource"])
+        for r in resources_table(df).collect()
+    )
+    assert got == [
+        ("http://h/x.html", 0, "http://h/a.js"),
+        ("http://h/x.html", 1, "http://h/b.png"),
+    ]
+
+
 def test_robots_longest_match_wins():
     rules = compile_rules([("/p/", False), ("/p/public", True)])
     assert allowed(rules, "/p/public/x") is True
