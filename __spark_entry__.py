@@ -313,6 +313,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_load(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dup_banded(spark, sf_dir):
+    from ideacrawler_spark.textops.similarity import near_dup_pairs_banded
+
+    # multi-band OR-construction with a per-(band,bucket) size cap — the
+    # skew-bounded scale path for near-dup candidate generation
+    return near_dup_pairs_banded(
+        _load(spark, sf_dir, "embeddings"), 10_000_000,
+        n_bands=2, planes_per_band=6, bucket_cap=64,
+    )
+
+
 def q_langid(spark, sf_dir):
     return langid_ngram(_load(spark, sf_dir, "documents"))
 
@@ -432,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "ann_lsh_topk": q_ann_lsh_topk,
         "langid": q_langid,
         "quality": q_quality,
@@ -655,6 +667,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_DOTQ_SQL.format(a='a.q', b='c.q')} >= 10000000
         """,
         "ann_lsh_topk": _ANN_TOPK_SQL,
+        "embedding_near_dup_banded": f"""
+            WITH {_QUANT_SQL}, {_planes_values_sql(12)},
+            proj AS (
+              SELECT vec_id, j, {_DOTQ_SQL.format(a='q', b='p')} AS s
+              FROM emb CROSS JOIN planes),
+            bb AS (
+              SELECT vec_id, CAST(j // 6 AS INT) AS band,
+                     sum(CASE WHEN s >= 0 THEN 1::BIGINT << (j % 6)
+                              ELSE 0 END)::BIGINT AS bucket
+              FROM proj GROUP BY vec_id, CAST(j // 6 AS INT)),
+            capped AS (
+              SELECT vec_id, band, bucket FROM bb
+              QUALIFY row_number() OVER (PARTITION BY band, bucket
+                                         ORDER BY vec_id) <= 64),
+            v AS (SELECT c.vec_id, c.band, c.bucket, e.q
+                  FROM capped c JOIN emb e USING (vec_id))
+            SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   {_DOTQ_SQL.format(a='a.q', b='b.q')} AS dot_q
+            FROM v a JOIN v b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id
+            WHERE {_DOTQ_SQL.format(a='a.q', b='b.q')} >= 10000000
+        """,
         "langid": """
             WITH wrd AS (
               SELECT doc_id, lang, w

@@ -3,7 +3,11 @@
 Headline metric (BASELINE.json): URLs scheduled+deduped per second per
 frontier round — the engine's real round prelude (canonicalize UDF →
 first-occurrence dedup → seen anti-join → salted politeness admission →
-global fetch ordering) over a 16M-URL skewed synthetic frontier.
+global fetch ordering) over a 16M-URL skewed synthetic frontier, calling
+the ENGINE'S OWN dedup operator functions (exact URL strings through the
+dedup shuffles — the seen-set is authoritative strings). The hash-narrow
+scheduling core is recorded separately as `frontier_round_narrow`
+(BASELINE.md "round-2 headline redefinition").
 
 Scaling criterion (north rule): same job, same input, N vs 4N cores.
 This sandbox's 32 hardware threads stop scaling linearly past ~8 busy
@@ -117,6 +121,19 @@ def main():
     queries[f"frontier_round_local{cpus}"] = round(rmain["seconds"], 3)
     extras["headline_urls_scheduled_deduped_per_sec"] = round(rmain["urls_per_sec"])
     extras["frontier_n"] = n
+
+    # secondary: hash-narrow scheduling core (keys only through the
+    # shuffles — the upper bound the string-exact engine pipeline trades
+    # against; see BASELINE.md "round-2 headline redefinition")
+    from ideacrawler_spark.plans.bench_workload import frontier_round_narrow
+
+    rn = None
+    for _ in range(2):
+        r = frontier_round_narrow(spark, n)
+        if rn is None or r["seconds"] < rn["seconds"]:
+            rn = r
+    queries["frontier_round_narrow"] = round(rn["seconds"], 3)
+    extras["narrow_urls_scheduled_deduped_per_sec"] = round(rn["urls_per_sec"])
 
     # ---- secondary operator benches at sf ----------------------------------
     import __spark_entry__ as e

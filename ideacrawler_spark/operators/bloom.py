@@ -15,7 +15,10 @@ memory-feasible nor parallel. Here:
   checkpoint (parquet+manifest here; Iceberg snapshots in production) and
   updated inside ``applyInPandas`` — each task touches exactly one shard
   file, the batch arrives as Arrow, and the membership test is vectorized
-  numpy over the whole batch (no per-row Python).
+  numpy over the whole batch (no per-row Python);
+- ALL shard IO goes through ``operators/shardfs.py`` (pyarrow.fs), so a
+  checkpoint dir on hdfs:// or s3:// works from executors without a
+  shared local disk — the round-1 local-``os.path`` dependence is gone.
 
 Bit addressing: k=7 indexes per key from the 64-bit xxhash via the
 Kirsch-Mitzenmacher construction idx_i = (h1 + i*h2) mod m with
@@ -24,8 +27,7 @@ h1 = low 32 bits, h2 = high 32 bits | 1.
 
 from __future__ import annotations
 
-import os
-import shutil
+import io
 from typing import Iterator
 
 import numpy as np
@@ -33,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ideacrawler_spark.operators import shardfs
 
 N_SHARDS = 64
 M_BITS = 1 << 22          # 4 Mbit/shard → 64 shards ≈ 32 MB; fpr ~1% at ~25M keys
@@ -53,14 +57,18 @@ def _indexes(hashes: np.ndarray, m: int = M_BITS, k: int = K_HASHES) -> np.ndarr
 
 
 def _shard_path(bloom_dir: str, shard: int) -> str:
-    return os.path.join(bloom_dir, f"shard={shard:04d}.npy")
+    return shardfs.join(bloom_dir, f"shard={shard:04d}.npy")
 
 
 def _load_shard(bloom_dir: str, shard: int) -> np.ndarray:
-    p = _shard_path(bloom_dir, shard)
-    if os.path.exists(p):
-        return np.load(p)
+    raw = shardfs.read_bytes(_shard_path(bloom_dir, shard))
+    if raw is not None:
+        return np.load(io.BytesIO(raw))
     return np.zeros(M_BITS // 8, dtype=np.uint8)
+
+
+def _save_shard(path: str, arr_bytes: bytes) -> None:
+    shardfs.write_bytes_atomic(path, arr_bytes)
 
 
 def update_shards(seen_new: DataFrame, prev_dir: str | None, out_dir: str,
@@ -68,13 +76,13 @@ def update_shards(seen_new: DataFrame, prev_dir: str | None, out_dir: str,
     """Fold new keys into the Bloom shards: read round r-1 shards, write
     round r shards (copy-forward untouched ones). One applyInPandas group
     per shard — the task-local file IS the Arrow-backed partition state."""
-    os.makedirs(out_dir, exist_ok=True)
-    if prev_dir and os.path.isdir(prev_dir):
-        for name in os.listdir(prev_dir):
-            if name.startswith("shard="):
-                dst = os.path.join(out_dir, name)
-                if not os.path.exists(dst):
-                    shutil.copy(os.path.join(prev_dir, name), dst)
+    shardfs.makedirs(out_dir)
+    if prev_dir:
+        for name in shardfs.listdir(prev_dir):
+            if name.startswith("shard=") and not name.endswith(".tmp"):
+                dst = shardfs.join(out_dir, name)
+                if not shardfs.exists(dst):
+                    shardfs.copy_file(shardfs.join(prev_dir, name), dst)
 
     df = seen_new.select(F.col(hash_col).alias("h")).withColumn(
         "shard", shard_of(F.col("h"), n_shards)
@@ -88,10 +96,9 @@ def update_shards(seen_new: DataFrame, prev_dir: str | None, out_dir: str,
         idx = _indexes(pdf["h"].to_numpy())
         flat = idx.reshape(-1)
         np.bitwise_or.at(arr, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
-        tmp = _shard_path(out_dir, shard) + ".tmp"
-        with open(tmp, "wb") as f:   # np.save on a handle: no suffix games
-            np.save(f, arr)
-        os.replace(tmp, _shard_path(out_dir, shard))
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        _save_shard(_shard_path(out_dir, shard), buf.getvalue())
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     (
@@ -131,7 +138,14 @@ def maybe_seen(candidates: DataFrame, bloom_dir: str,
             pdf["_maybe_seen"] = out
             yield pdf
 
-    schema = candidates.schema.add("_maybe_seen", "boolean")
+    # NB: StructType.add MUTATES the receiver — build a fresh schema so
+    # probing the same DataFrame twice can't duplicate the column
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
     # partition by shard so each task reads few shard files
     return candidates.repartition(
         n_shards, shard_of(F.col(hash_col), n_shards)

@@ -18,8 +18,7 @@ uint8 scalar. All probes are vectorized numpy over Arrow batches.
 
 from __future__ import annotations
 
-import os
-import shutil
+import io
 from typing import Iterator
 
 import numpy as np
@@ -27,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ideacrawler_spark.operators import shardfs
 
 N_SHARDS = 64
 N_BUCKETS = 1 << 16        # 65536 buckets × 4 slots × 2B = 512 KB/shard
@@ -51,13 +52,13 @@ def _alt_bucket(i: np.ndarray, f: np.ndarray) -> np.ndarray:
 
 
 def _shard_path(d: str, shard: int) -> str:
-    return os.path.join(d, f"cuckoo={shard:04d}.npz")
+    return shardfs.join(d, f"cuckoo={shard:04d}.npz")
 
 
 def _load(d: str, shard: int):
-    p = _shard_path(d, shard)
-    if os.path.exists(p):
-        z = np.load(p)
+    raw = shardfs.read_bytes(_shard_path(d, shard))
+    if raw is not None:
+        z = np.load(io.BytesIO(raw))
         return z["table"].copy(), bool(z["overflow"])
     return np.zeros((N_BUCKETS, SLOTS), dtype=np.uint16), False
 
@@ -91,13 +92,13 @@ def _insert_one(table: np.ndarray, h: int) -> bool:
 
 def update_shards(seen_new: DataFrame, prev_dir: str | None, out_dir: str,
                   hash_col: str = "key_hash", n_shards: int = N_SHARDS) -> None:
-    os.makedirs(out_dir, exist_ok=True)
-    if prev_dir and os.path.isdir(prev_dir):
-        for name in os.listdir(prev_dir):
-            if name.startswith("cuckoo="):
-                dst = os.path.join(out_dir, name)
-                if not os.path.exists(dst):
-                    shutil.copy(os.path.join(prev_dir, name), dst)
+    shardfs.makedirs(out_dir)
+    if prev_dir:
+        for name in shardfs.listdir(prev_dir):
+            if name.startswith("cuckoo=") and not name.endswith(".tmp"):
+                dst = shardfs.join(out_dir, name)
+                if not shardfs.exists(dst):
+                    shardfs.copy_file(shardfs.join(prev_dir, name), dst)
 
     df = seen_new.select(F.col(hash_col).alias("h")).withColumn(
         "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
@@ -113,10 +114,9 @@ def update_shards(seen_new: DataFrame, prev_dir: str | None, out_dir: str,
                 if not _insert_one(table, int(h)):
                     overflow = True
                     break
-        tmp = _shard_path(out_dir, shard) + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, table=table, overflow=np.uint8(overflow))
-        os.replace(tmp, _shard_path(out_dir, shard))
+        buf = io.BytesIO()
+        np.savez(buf, table=table, overflow=np.uint8(overflow))
+        shardfs.write_bytes_atomic(_shard_path(out_dir, shard), buf.getvalue())
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     (
@@ -159,7 +159,13 @@ def maybe_seen(candidates: DataFrame, cuckoo_dir: str,
             pdf["_maybe_seen"] = out
             yield pdf
 
-    schema = candidates.schema.add("_maybe_seen", "boolean")
+    from pyspark.sql import types as T
+
+    # fresh StructType: .add would mutate the candidate frame's schema
+    schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
     return candidates.repartition(
         n_shards, F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
     ).mapInPandas(probe, schema=schema)

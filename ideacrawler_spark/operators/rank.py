@@ -10,8 +10,14 @@ every row through ONE task — fatal at 10^10 rows. Instead:
    ordered partitions);
 2. ``row_number`` within each physical partition (cheap: data already
    sorted, partition key = spark_partition_id);
-3. per-partition counts (tiny aggregate) → driver → cumulative offsets →
+3. per-partition counts (tiny aggregate, ≤ num_partitions rows) →
+   cumulative offsets via a window over THAT tiny frame →
    broadcast-joined back.
+
+Step 3 is fully lazy — no ``collect()``: the offsets live in a
+num_partitions-row DataFrame whose single-partition window is over
+partition COUNTS, not data rows, so the driver never blocks mid-plan
+(round 1 paid two driver-blocking rank collects per crawl round).
 
 The resulting rank is independent of the sampled range boundaries because
 the order key is strictly unique, so the output is deterministic across
@@ -25,9 +31,15 @@ from pyspark.sql import functions as F
 
 
 def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
-                offset: int = 0, num_partitions: int | None = None) -> DataFrame:
+                offset: int = 0, num_partitions: int | None = None,
+                track: list | None = None) -> DataFrame:
     """Add ``out_col`` = offset + dense 0-based rank of the row in the total
-    order given by ``order_cols`` (must be a strict total order)."""
+    order given by ``order_cols`` (must be a strict total order).
+
+    ``track``: optional list the internal persisted frame is appended to,
+    so long-running callers (the crawl round loop) can unpersist it once
+    the round's outputs are materialized — otherwise the cache pins
+    memory for the session."""
     cols = [F.col(c) for c in order_cols]
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *cols)
@@ -35,21 +47,21 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
         part = df.repartitionByRange(*cols)
     part = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*cols)
-    # persist: the per-partition count below and the caller's action would
-    # otherwise both recompute the (possibly UDF-heavy) upstream lineage
+    # persist: the offsets subquery and the caller's action would otherwise
+    # both recompute the (possibly UDF-heavy) upstream lineage
     ranked = part.withColumn("_rn", F.row_number().over(w)).persist()
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
-    counts.sort(key=lambda r: r["_pid"])
-    offsets, acc = {}, offset
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["_n"]
-    if not offsets:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    if track is not None:
+        track.append(ranked)
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # single-partition window over ≤num_partitions COUNT rows (not data)
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        (F.coalesce(F.sum("_n").over(wo), F.lit(0)) + F.lit(offset))
+        .alias("_off"),
     )
     return (
-        ranked.withColumn(out_col, mapping[F.col("_pid")] + F.col("_rn") - 1)
-        .drop("_pid", "_rn")
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off")
     )

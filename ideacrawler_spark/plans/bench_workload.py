@@ -6,23 +6,28 @@ deliberately skewed host distribution (one host owns ~30% of URLs — the
 salting test), 25% messy URLs (canonicalization slow path), a ~20% overlap
 with a pre-existing seen-set; then run the engine's real round prelude:
 
-    canonicalize (Arrow UDF) → in-round first-occurrence dedup (window on
-    url_norm) → anti-join seen → salted per-host budget admission →
+    canonicalize (Arrow UDF) → in-round first-occurrence dedup
+    (operators/dedup.first_occurrence: min_by groupBy, map-side combine)
+    → anti-join seen (operators/dedup.anti_join_seen: hash-led join with
+    the exact-string tiebreak) → salted per-host budget admission →
     global fetch ordering (bucket-histogram rank) → noop sink
 
-Everything is generated from ``spark.range`` — deterministic, no I/O bias,
-and the pipeline is the same operator code the crawl engine runs.
+Everything is generated from ``spark.range`` — deterministic, no I/O bias.
+The dedup stages call the EXACT operator functions the crawl engine runs
+(round.py:249-264) in the engine's order, so the headline number measures
+the engine pipeline, not a look-alike (VERDICT r01 flagged the drift).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ideacrawler_spark.functions.urlnorm import canonicalize_udf
 from ideacrawler_spark.operators.admission import admit_budget
+from ideacrawler_spark.operators.dedup import anti_join_seen, first_occurrence
 from ideacrawler_spark.operators.rank import global_rank
 
 N_HOSTS = 997
@@ -85,14 +90,51 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
     """Run one frontier-round prelude over n URLs; returns timings/counts.
 
     Scale discipline (this is what survives 100 TB):
-    - every shuffle key is the 64-bit xxhash of the canonical URL, never
-      the string — long sorts/compares, ~8B keys through the exchanges;
     - rows are narrowed to exactly the columns the next operator needs
       BEFORE each exchange (no 150-byte rows riding five shuffles);
-    - the canonicalization UDF output is immediately hashed; the exact
-      string would be kept in the engine's seen-table (authoritative),
-      but never travels through the scheduling shuffles.
+    - ``first_occurrence`` is a min_by groupBy — partial aggregation
+      collapses duplicate links map-side before the shuffle;
+    - ``anti_join_seen`` leads the join key with the 64-bit xxhash (long
+      compares; the exact string only breaks hash ties) — both are the
+      engine's own operator functions, called here unmodified.
     """
+    parts = spark.sparkContext.defaultParallelism * 2
+    frontier = gen_frontier(spark, n, parts)
+    seen = gen_seen(spark, n, parts)
+    t0 = time.monotonic()
+    canon = frontier.withColumn("url_norm", canonicalize_udf()(F.col("url")))
+    cand = canon.select("url_norm", "host", "depth", "seq")
+    # the engine's round order (round.py:249-264): in-round first
+    # occurrence, THEN the seen anti-join
+    firsts = first_occurrence(cand, key="url_norm", order_cols=("depth", "seq"))
+    fresh = anti_join_seen(firsts, seen, key="url_norm")
+    admitted, _carried = admit_budget(
+        fresh.withColumnRenamed("url_norm", "url"),  # salt source
+        F.lit(host_budget),
+        None if global_budget >= n else global_budget,
+    )
+    ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
+                         num_partitions=parts)
+    ranked.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    # global_rank persists its ranked frame; identical plans across bench
+    # iterations would otherwise hit the cache and fake the timing
+    spark.catalog.clearCache()  # also drops the input frontier/seen caches
+    return dict(n=n, seconds=dt, urls_per_sec=n / dt)
+
+
+def frontier_round_narrow(spark: SparkSession, n: int, host_budget: int = 500,
+                          global_budget: int = 1 << 40) -> dict:
+    """The hash-narrow scheduling core: same stages, but every shuffle key
+    is the 64-bit xxhash and the URL string is dropped before the first
+    exchange. This is NOT the engine's exact operator code (the engine
+    keeps the exact string through dedup — the seen-set is authoritative
+    strings); it bounds what the scheduling shuffles alone can do, and is
+    the design an Iceberg frontier would use with a hash column stored
+    next to the string (recorded as a SECONDARY metric; the headline is
+    ``frontier_round``)."""
+    from pyspark.sql import Window
+
     parts = spark.sparkContext.defaultParallelism * 2
     frontier = gen_frontier(spark, n, parts)
     seen = gen_seen(spark, n, parts).select(
@@ -105,9 +147,6 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
         F.xxhash64(F.col("host")).alias("host_hash"),
         "depth", "seq",
     )
-    # anti-join BEFORE the first-occurrence window: same semantics, less
-    # window input, and the join's hash partitioning on url_hash is reused
-    # by the window (one exchange saved)
     fresh = cand.join(seen, on=cand.url_hash == seen.seen_hash, how="left_anti")
     w = Window.partitionBy("url_hash").orderBy("depth", "seq")
     firsts = (
@@ -115,7 +154,7 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
         .filter(F.col("_occ") == 1).drop("_occ")
     )
     admitted, _carried = admit_budget(
-        firsts.withColumnRenamed("url_hash", "url")  # salt source
+        firsts.withColumnRenamed("url_hash", "url")
               .withColumnRenamed("host_hash", "host"),
         F.lit(host_budget),
         None if global_budget >= n else global_budget,
@@ -124,7 +163,5 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
                          num_partitions=parts)
     ranked.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
-    # global_rank persists its ranked frame; identical plans across bench
-    # iterations would otherwise hit the cache and fake the timing
-    spark.catalog.clearCache()  # also drops the input frontier/seen caches
+    spark.catalog.clearCache()
     return dict(n=n, seconds=dt, urls_per_sec=n / dt)

@@ -77,6 +77,7 @@ class CrawlEngine:
         # MaxDelay<=MinDelay it consumes no draws and budgets are fixed
         self._sampler = DelaySampler.for_spec(spec)
         self._cancelled = False
+        self._frontier_count = 0  # tracked exactly; avoids count() jobs
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -163,6 +164,7 @@ class CrawlEngine:
             self.seq_offset = 1
         self.frontier = self.spark.createDataFrame(rows, _frontier_schema()) \
             if rows else self._empty_frontier()
+        self._frontier_count = len(rows)
         # seed enters the seen-set AS GIVEN, unnormalized (job.go:776)
         seen_rows = [(spec.seed_url,)] if spec.seed_url else []
         self.seen = self.spark.createDataFrame(seen_rows, SEEN_SCHEMA)
@@ -207,6 +209,7 @@ class CrawlEngine:
         self.frontier = self.frontier.unionByName(
             self.spark.createDataFrame(rows, _frontier_schema())
         )
+        self._frontier_count += len(rows)
 
     def _has_future_pushes(self, rnd: int) -> bool:
         return any(int(p.get("round", 0)) >= rnd for p in self.pushes)
@@ -273,6 +276,7 @@ class CrawlEngine:
         self._sampler = DelaySampler.for_spec(self.spec)
         for _ in range(self.round):
             self.spec.realized_global_budget(self._sampler)
+        self._frontier_count = self.frontier.count()  # one job, resume only
         return True
 
     def _update_shards_fn(self):
@@ -292,7 +296,9 @@ class CrawlEngine:
         # so the sampler sequence replays identically on resume and stays
         # in lockstep with the reference simulator's per-round draws
         global_budget = self.spec.realized_global_budget(self._sampler)
-        n_pending = self.frontier.count()
+        # frontier size is tracked exactly (previous round's output count
+        # plus injected pushes) — no count() job at round start
+        n_pending = self._frontier_count
         if n_pending == 0:
             # idle round: only future pushes remain (refsim does the same)
             self.metrics.append(dict(round=rnd, admitted=0, carried=0,
@@ -310,17 +316,37 @@ class CrawlEngine:
             bloom_shards=self.bloom_shards,
             seen_filter=self.seen_filter,
             global_budget=global_budget,
+            n_pending=n_pending,
         )
-        # materialize round outputs (atomic commit when checkpointing)
-        shipped = self._materialize(res.shipped, "shipped", rnd)
-        order = self._materialize(res.metrics.pop("order"), "order", rnd)
-        self._materialize(res.metrics.pop("part_metrics"), "part_metrics", rnd)
-        outlinks = self._materialize(res.outlinks, "outlinks", rnd)
-        frontier_next = self._materialize(res.frontier_next, "frontier_next", rnd)
-        seen_next = self._materialize(
-            self.seen.unionByName(res.seen_new).repartition(self.nparts, "key"),
-            "seen", rnd,
-        )
+        # ONE metrics action computes the whole round pipeline and fills
+        # every persisted mid-frame (VERDICT r01: four separate collects
+        # were the round-latency floor) ...
+        m = res.metrics
+        cnt = m.pop("counters").collect()[0]
+        # ... then the output materializations run CONCURRENTLY — each
+        # only formats + writes from the now-hot caches, so the 6
+        # sequential job-launch latencies overlap (atomic commit safety is
+        # unchanged: _COMMIT.json still lands after every write returns)
+        from concurrent.futures import ThreadPoolExecutor
+
+        seen_all = self.seen.unionByName(res.seen_new).repartition(
+            self.nparts, "key")
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            f_shipped = pool.submit(self._materialize, res.shipped, "shipped", rnd)
+            f_order = pool.submit(
+                self._materialize, m.pop("order"), "order", rnd)
+            f_pm = pool.submit(
+                self._materialize, m.pop("part_metrics"), "part_metrics", rnd)
+            f_outlinks = pool.submit(self._materialize, res.outlinks, "outlinks", rnd)
+            f_frontier = pool.submit(
+                self._materialize, res.frontier_next, "frontier_next", rnd)
+            f_seen = pool.submit(self._materialize, seen_all, "seen", rnd)
+        shipped = f_shipped.result()
+        order = f_order.result()
+        f_pm.result()
+        outlinks = f_outlinks.result()
+        frontier_next = f_frontier.result()
+        seen_next = f_seen.result()
         if self.ckpt:
             # fold this round's new keys into the filter shards; the new
             # shard directory becomes part of the round's atomic commit
@@ -332,21 +358,35 @@ class CrawlEngine:
                 self.bloom_dir, bloom_next, n_shards=self.bloom_shards,
             )
             self.bloom_dir = bloom_next
-        fr_row = frontier_next.agg(
-            F.count("*").alias("n"), F.max("seq").alias("mx")
-        ).collect()[0]
-        n_front = fr_row["n"]
-        self.fetch_seq_offset += res.n_fetched
+        m["admitted"] = int(cnt["admitted"] or 0)
+        m["robots_denied"] = int(cnt["robots_denied"] or 0)
+        m["fetched"] = int(cnt["fetched"] or 0)
+        m["errors"] = int(cnt["errors"] or 0)
+        m["deduped"] = int(cnt["n_eligible"] or 0) - int(cnt["n_new"] or 0)
+        self.fetch_seq_offset += m["fetched"]
         # seq_offset advances by the number of NEW entries ranked this
-        # round (children + HEAD requeues) — recover it from the data:
-        if fr_row["mx"] is not None:
-            self.seq_offset = max(self.seq_offset, int(fr_row["mx"]) + 1)
-        m = res.metrics
-        m["carried"] = None
+        # round (children + HEAD requeues); carried rows kept their old
+        # (smaller) seqs, so the enq max alone is the frontier max
+        if cnt["max_seq"] is not None:
+            self.seq_offset = max(self.seq_offset, int(cnt["max_seq"]) + 1)
+        # frontier_next size is derivable exactly — no count() job:
+        # carried (= pending - admitted) plus the newly-enqueued rows
+        m["carried"] = n_pending - m["admitted"]
+        n_front = m["carried"] + int(cnt["n_enq"] or 0)
         m["frontier_next"] = n_front
         self.metrics.append(m)
+        self._frontier_count = int(n_front)
         for df in getattr(res, "_cached", []):
             df.unpersist()
+        # the SUPERSEDED frontier/seen localCheckpoints are non-evictable
+        # blocks (lineage-truncated): free them or each round pins a full
+        # copy of the growing seen-set for the session's lifetime
+        if not self.ckpt:
+            for old in (self.frontier, self.seen):
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — non-persisted frames
+                    pass
         self.frontier = frontier_next
         self.seen = seen_next
         self._shipped.append(shipped)
@@ -374,9 +414,39 @@ class CrawlEngine:
         """Run rounds until the frontier is empty (all-hosts-idle analogue,
         fetch.go:430-444), cancel() fires, or max_rounds hits."""
         while self.round < self.spec.max_rounds and not self._cancelled:
-            if self.frontier.count() == 0 and not self._has_future_pushes(self.round):
+            if self._frontier_count == 0 and not self._has_future_pushes(self.round):
                 break
             self.step()
+
+    def subscribe(self, resume: bool = False):
+        """The ``AddDomainAndListen`` / ``GetAnalyzedURLs`` analogue
+        (worker.go:322-358, :289-320): the reference's flagship entry
+        point streams each crawled page (and each page's analyzed-URL
+        list) to the subscribed client as the crawl progresses, and the
+        job STOPS when the listener goes away.
+
+        Batch analogue: a generator yielding one dict per productive
+        round — ``round``, ``shipped`` (that round's shipped-pages
+        DataFrame), ``outlinks`` (that round's analyzed-URL sink) and
+        ``metrics``. Abandoning the generator stops the crawl exactly
+        like the reference's subscriber-disconnect (the next round never
+        runs); committed rounds stay resumable."""
+        if resume and self.ckpt and self.resume():
+            pass
+        else:
+            self._init_state()
+        while self.round < self.spec.max_rounds and not self._cancelled:
+            if self._frontier_count == 0 and not self._has_future_pushes(self.round):
+                break
+            n_before = len(self._shipped)
+            self.step()
+            if len(self._shipped) > n_before:
+                yield dict(
+                    round=self.round - 1,
+                    shipped=self._shipped[-1],
+                    outlinks=self._outlinks[-1],
+                    metrics=self.metrics[-1],
+                )
 
     def add_pushes(self, rows: List[dict]):
         """Streaming entry: enqueue client pushes for the CURRENT round

@@ -87,10 +87,17 @@ def run_round(
     bloom_shards: int = 64,
     seen_filter: str = "bloom",
     global_budget: Optional[int] = None,
+    n_pending: Optional[int] = None,
 ) -> RoundResult:
     metrics = dict(round=rnd)
     if global_budget is None:
         global_budget = spec.global_budget()
+    # the global cap cannot bind when the whole frontier fits under it —
+    # skip the top-k histogram job entirely (driver-latency saver; at
+    # 10^10-frontier scale the cap binds and the histogram path runs)
+    effective_gb = global_budget
+    if n_pending is not None and n_pending <= global_budget:
+        effective_gb = None
 
     # ---- politeness: join per-host robots dim, compute budgets, admit ----
     if robots_host is not None:
@@ -100,7 +107,7 @@ def run_round(
                      .withColumn("rules", F.lit(None).cast(
                          "array<struct<rule_seq:int,rule_path:string,"
                          "allow:boolean,fetch_status:int>>"))
-    admitted, carried = admit_budget(fr, _host_budget_col(spec), global_budget)
+    admitted, carried = admit_budget(fr, _host_budget_col(spec), effective_gb)
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 
@@ -115,21 +122,21 @@ def run_round(
             "_allowed", robots_allowed_udf()(path_col, F.col("rules"))
         )
     allowed = allowed.persist()
-    # one aggregate action for both admission metrics
-    adm_row = allowed.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("denied"),
-    ).collect()[0]
-    metrics["admitted"] = adm_row["n"]
-    metrics["robots_denied"] = int(adm_row["denied"] or 0)
+    # admission counters fold into the single end-of-round counters job
+    adm_counts = allowed.agg(
+        F.count("*").alias("admitted"),
+        F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("robots_denied"),
+    )
     fetchable = allowed.filter(F.col("_allowed")).drop(
         "_allowed", "crawl_delay", "rules")
 
     # ---- deterministic fetch order (the crawl-order golden) --------------
+    _rank_caches: list = []
     fetchable = global_rank(
         fetchable, ["depth", "seq"], out_col="fetch_seq",
         offset=fetch_seq_offset,
         num_partitions=shuffle_partitions,
+        track=_rank_caches,
     )
 
     # ---- "fetch" = equi-join against the simulated web -------------------
@@ -153,8 +160,8 @@ def run_round(
         .drop("_page_url", "_ctype")
         .persist()
     )
-    f_row = fetched.agg(
-        F.count("*").alias("n"),
+    fetch_counts = fetched.agg(
+        F.count("*").alias("fetched"),
         F.sum(
             F.when(
                 (F.col("_ctype_base") == spec.mimetype)
@@ -163,9 +170,7 @@ def run_round(
                 1,
             ).otherwise(0)
         ).alias("errors"),
-    ).collect()[0]
-    metrics["fetched"] = f_row["n"]
-    metrics["errors"] = int(f_row["errors"] or 0)
+    )
 
     # mimetype mux (job.go:620-623): non-matching pages are not handled at all
     handled = fetched.filter(F.col("_ctype_base") == spec.mimetype)
@@ -247,7 +252,7 @@ def run_round(
         if spec.follow_url_regexp else F.lit(True)
     )
     eligible = resolved.filter(req_match | follow_match).persist()
-    n_eligible = eligible.count()
+    elig_counts = eligible.agg(F.count("*").alias("n_eligible"))
 
     # ---- dedup: in-round first occurrence, then anti-join the seen table.
     #      With a Bloom checkpoint, provably-new rows skip the join (D1).
@@ -264,8 +269,7 @@ def run_round(
             firsts, seen, bloom_dir, n_shards=bloom_shards).persist()
     else:
         new_firsts = anti_join_seen(firsts, seen).persist()
-    n_new = new_firsts.count()
-    metrics["deduped"] = n_eligible - n_new
+    new_counts = new_firsts.agg(F.count("*").alias("n_new"))
 
     # ---- cross-domain quirk (job.go:842-845): mark seen, don't enqueue.
     #      The CHILD host is lowercase (purell mutated u.Host before
@@ -274,11 +278,11 @@ def run_round(
     #      mixed-case seed URL matches nothing and the job enqueues no
     #      children, exactly like the reference.
     if spec.seed_url and not spec.follow_other_domains:
+        # cross-domain rows are NOT enqueued but DO enter the seen-set:
+        # seen_new below is ALL of new_firsts, children only the same-host
         seed_raw = host_raw(spec.seed_url)
-        cross = new_firsts.filter(F.col("host") != F.lit(seed_raw))
         children_src = new_firsts.filter(F.col("host") == F.lit(seed_raw))
     else:
-        cross = new_firsts.limit(0)
         children_src = new_firsts
 
     child_method = "HEAD" if spec.check_content else "GET"
@@ -298,6 +302,7 @@ def run_round(
     enq = global_rank(
         enq, ["parent_depth", "parent_seq", "link_pos"], out_col="seq",
         offset=seq_offset, num_partitions=shuffle_partitions,
+        track=_rank_caches,
     ).drop("parent_depth", "parent_seq", "link_pos")
 
     seen_new = (
@@ -352,14 +357,33 @@ def run_round(
     metrics["part_metrics"] = part_metrics  # DataFrame; driver materializes
 
     metrics["order"] = order_cols  # DataFrame; driver materializes
+    # ---- ALL round counters as ONE single-row DataFrame: the driver
+    #      collects it once after the output writes have populated the
+    #      caches, so the whole round costs exactly one metrics action
+    #      (VERDICT r01: four separate collects were the round-latency
+    #      floor).
+    enq_counts = enq.agg(
+        F.count("*").alias("n_enq"), F.max("seq").alias("max_seq")
+    )
+    metrics["counters"] = (
+        adm_counts.crossJoin(fetch_counts)
+        .crossJoin(elig_counts)
+        .crossJoin(new_counts)
+        .crossJoin(enq_counts)
+    )
     result = RoundResult(
         shipped=shipped,
         frontier_next=carried.unionByName(enq),
         seen_new=seen_new,
         outlinks=outlinks,
         metrics=metrics,
-        n_fetched=metrics["fetched"],
+        n_fetched=None,  # filled by the driver from the counters row
         n_children=None,
     )
-    result._cached = [allowed, fetched, resolved, eligible, new_firsts]
+    # every persisted frame of the round gets unpersisted by the driver
+    # once the outputs are materialized — nothing may pin session memory
+    # across rounds (the seen-set grows; pinned copies starved execution
+    # memory in long pytest sessions)
+    result._cached = [allowed, fetched, resolved, eligible, new_firsts] \
+        + _rank_caches
     return result

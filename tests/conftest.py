@@ -17,7 +17,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # headroom for session-long suites: localCheckpointed round outputs
+        # are non-evictable until their engines are garbage-collected
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     yield spark

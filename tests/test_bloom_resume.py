@@ -40,6 +40,31 @@ def test_bloom_shard_roundtrip(spark, tmp_path):
     assert bloom.maybe_seen(both, d2).filter(~F.col("_maybe_seen")).count() == 0
 
 
+def test_bloom_shards_on_fs_uri(spark, tmp_path):
+    """Shard IO goes through pyarrow.fs (operators/shardfs.py): a file://
+    URI exercises the from_uri resolver end-to-end — the exact code path
+    an hdfs:// or s3:// checkpoint would take on a real cluster, where
+    executors do NOT share the driver's local disk."""
+    d1 = "file://" + str(tmp_path / "u1")
+    keys = spark.range(0, 3000).select(F.xxhash64("id").alias("key_hash"))
+    bloom.update_shards(keys, None, d1)
+    cand = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    assert bloom.maybe_seen(cand, d1).filter(~F.col("_maybe_seen")).count() == 0
+    # copy-forward between rounds across the URI path too
+    d2 = "file://" + str(tmp_path / "u2")
+    more = spark.range(9000, 9500).select(F.xxhash64("id").alias("key_hash"))
+    bloom.update_shards(more, d1, d2)
+    both = spark.range(0, 3000).union(spark.range(9000, 9500)).select(
+        F.xxhash64("id").alias("url_hash"))
+    assert bloom.maybe_seen(both, d2).filter(~F.col("_maybe_seen")).count() == 0
+    # cuckoo variant shares the same shardfs layer
+    from ideacrawler_spark.operators import cuckoo
+
+    c1 = "file://" + str(tmp_path / "c1")
+    cuckoo.update_shards(keys, None, c1)
+    assert cuckoo.maybe_seen(cand, c1).filter(~F.col("_maybe_seen")).count() == 0
+
+
 def _spec(**kw):
     base = dict(job_id="ckpt", seed_url="http://hosta.example/p/0",
                 min_delay_s=1, round_seconds=10, max_concurrent=5)

@@ -93,3 +93,39 @@ def test_ivf_and_near_dup_shapes(spark):
     nd = near_dup_pairs(emb, threshold_dot_q=5_000_000).collect()
     assert all(r["vec_id_a"] < r["vec_id_b"] for r in nd)
     assert all(r["dot_q"] >= 5_000_000 for r in nd)
+
+
+def test_banded_near_dup_bucket_cap_bounds_skew(spark):
+    """A pathological bucket (many near-identical vectors all landing in
+    the same LSH bucket) must NOT produce a quadratic pair blowup when
+    bucket_cap is set: per band, a bucket contributes at most C(cap,2)
+    candidate pairs regardless of its true size."""
+    from ideacrawler_spark.textops.similarity import near_dup_pairs_banded
+
+    # 200 copies of one vector (one mega-bucket) + 50 distinct-ish others
+    dim = 64
+    rows = [(i, [0.1] * dim) for i in range(200)]
+    rows += [(200 + i, [0.1 * ((i + j) % 7 - 3) for j in range(dim)])
+             for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = near_dup_pairs_banded(
+        emb, threshold_dot_q=-(1 << 60),  # keep every candidate pair
+        n_bands=2, planes_per_band=4, bucket_cap=10,
+    ).collect()
+    # per band a capped bucket yields ≤ C(10,2)=45 pairs; 2 bands, a few
+    # buckets → comfortably bounded, NOT the ~19900 of the uncapped blowup
+    assert 0 < len(capped) < 2 * 16 * 45 + 1
+    # the mega-bucket's contribution is exactly C(10,2) per band for the
+    # duplicate vectors: pairs among vec_id < 10 (the cap keeps the first
+    # 10 by vec_id) — all present, none beyond the cap
+    dup_pairs = [r for r in capped
+                 if r["vec_id_a"] < 200 and r["vec_id_b"] < 200]
+    assert all(r["vec_id_a"] < 10 and r["vec_id_b"] < 10 for r in dup_pairs)
+    assert len(dup_pairs) == 45
+
+    # without the cap, the same fixture explodes quadratically
+    uncapped = near_dup_pairs_banded(
+        emb, threshold_dot_q=-(1 << 60), n_bands=1, planes_per_band=4,
+    ).count()
+    assert uncapped > 19000
