@@ -403,6 +403,27 @@ def q_crawl_flagship(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Common-Crawl-style WARC ingestion (sources/warc.py): the fixture
+    web serialized to a WARC/1.0 archive and parsed back through the
+    Spark mapInPandas path. The oracle re-derives the expected rows from
+    the INPUT page dicts (not the parser), so a parser bug cannot
+    self-certify."""
+    from ideacrawler_spark.sources.fixtures import synth_web
+    from ideacrawler_spark.sources.warc import build_warc, warc_to_pages
+
+    pages, _, _, _ = synth_web(seed=42, scale=1)
+    files = spark.createDataFrame(
+        [("w.warc", bytearray(build_warc(pages)))],
+        "path string, content binary",
+    )
+    return warc_to_pages(files).select(
+        "url", "status", "content_type",
+        F.length(F.col("html")).cast("int").alias("n_html"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -453,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
         "crawl_flagship": q_crawl_flagship,
+        "warc_ingest": q_warc_ingest,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -711,14 +733,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text
-                       FROM documents)
+                       FROM documents),
+            stops AS (SELECT ['the','a','an','and','or','of','to','in','is',
+                              'it','for','on','with','as','at','by','be',
+                              'this','that','are'] AS sw)
             SELECT doc_id,
                    len(ws) AS n_words,
                    len(list_distinct(ws)) AS n_distinct,
                    (1000 * len(list_distinct(ws))) // len(ws) AS ttr_x1000,
                    list_max(list_transform(ws, x -> length(x))) AS max_word_len,
-                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
-            FROM w
+                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   len(list_filter(ws, x -> list_contains(sw, lower(x))))
+                     AS n_stop,
+                   (1000 * len(list_filter(ws, x -> list_contains(sw, lower(x)))))
+                     // len(ws) AS stop_x1000
+            FROM w, stops
         """,
         "token_count": r"""
             SELECT doc_id,
@@ -768,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         # counts) rendered as a VALUES literal. The Spark engine must land
         # on the exact same rows after its distributed round loop.
         "crawl_flagship": _flagship_oracle_sql(),
+        "warc_ingest": _warc_oracle_sql(),
         # Independent SQL recomputation of the deterministic synth-media
         # formula (textops/multimodal.py synth_media): payload byte j of
         # media i is (i*37 + j*11) % 251 with (i%7+1)*32 bytes — n_bytes
@@ -816,6 +846,30 @@ def _flagship_oracle_sql() -> str:
     return (
         "SELECT * FROM (VALUES " + rows + ") AS t("
         "fetch_seq, url, depth, anchor_text, meta, status, text)"
+    )
+
+
+def _warc_oracle_sql() -> str:
+    """Expected WARC-ingest rows derived from the fixture page dicts
+    themselves (url/status/content_type/html length+md5 are INPUT data) —
+    independent of the parser under test."""
+    import hashlib
+
+    from ideacrawler_spark.sources.fixtures import synth_web
+
+    pages, _, _, _ = synth_web(seed=42, scale=1)
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({q(p['url'])}, {int(p['status'])}::INT, {q(p['content_type'])}, "
+        f"{len(p['html'])}::INT, {q(hashlib.md5(p['html']).hexdigest())})"
+        for p in pages
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows + ") AS t("
+        "url, status, content_type, n_html, html_md5)"
     )
 
 

@@ -32,6 +32,21 @@ from ideacrawler_spark.operators.admission import admit_budget
 from ideacrawler_spark.operators.dedup import anti_join_seen, first_occurrence
 from ideacrawler_spark.operators.rank import global_rank
 
+# pandas UDFs are plan-level objects: constructing one costs py4j round
+# trips, so build each once per (python-side) process and reuse across
+# rounds — the crawl loop builds this plan every round
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _udfs(unsafe: bool):
+    return dict(
+        robots=robots_allowed_udf(),
+        extract=extract_links_udf(),
+        resolve=resolve_canon_udf(unsafe=unsafe),
+    )
+
+
 FRONTIER_SCHEMA = (
     "depth int, seq long, url string, url_norm string, host string, "
     "anchor string, meta string, method string, pushed boolean, "
@@ -119,7 +134,7 @@ def run_round(
         allowed = admitted.withColumn("_allowed", F.lit(True))
     else:
         allowed = admitted.withColumn(
-            "_allowed", robots_allowed_udf()(path_col, F.col("rules"))
+            "_allowed", _udfs(spec.unsafe_normalize)["robots"](path_col, F.col("rules"))
         )
     allowed = allowed.persist()
     # admission counters fold into the single end-of-round counters job
@@ -217,7 +232,9 @@ def run_round(
         F.col("seq").alias("parent_seq"),
         F.col("url").alias("parent_url"),
         F.col("meta"),
-        F.posexplode(extract_links_udf()(F.col("_html"))).alias("link_pos", "_link"),
+        F.posexplode(
+            _udfs(spec.unsafe_normalize)["extract"](F.col("_html"))
+        ).alias("link_pos", "_link"),
     ).select(
         "parent_depth", "parent_seq", "parent_url", "meta", "link_pos",
         F.col("_link.href").alias("href"),
@@ -225,7 +242,7 @@ def run_round(
     )
     resolved = links.withColumn(
         "_res",
-        resolve_canon_udf(unsafe=spec.unsafe_normalize)(
+        _udfs(spec.unsafe_normalize)["resolve"](
             F.col("parent_url"), F.col("href")
         ),
     ).select(

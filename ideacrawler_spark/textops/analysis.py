@@ -48,12 +48,22 @@ def langid_ngram(docs: DataFrame) -> DataFrame:
     )
 
 
+# Small fixed stopword list — quality scoring wants a RATIO signal, not a
+# linguistics-grade lexicon; identical literal list in the DuckDB oracle.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Integer quality facets: word counts, type-token ratio (×1000,
-    integer division — exact), longest word, punctuation count.
-    Output: (doc_id, n_words, n_distinct, ttr_x1000, max_word_len, n_punct).
-    """
+    integer division — exact), longest word, punctuation count, stopword
+    count + ratio (×1000). Output: (doc_id, n_words, n_distinct,
+    ttr_x1000, max_word_len, n_punct, n_stop, stop_x1000)."""
     w = words_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
     return docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
@@ -65,7 +75,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.array_max(F.transform(w, F.length)).alias("max_word_len"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), F.lit(0))
                ).alias("n_punct"),
-    )
+        n_stop.alias("n_stop"),
+        # div(): exact integer division (float '/' + floor can be off by
+        # one ULP across engines — the round-1 oracle hazard)
+        (n_stop * 1000).cast("long").alias("_s1000"),
+    ).withColumn(
+        "stop_x1000", F.expr("div(_s1000, n_words)")
+    ).drop("_s1000")
 
 
 def token_count(docs: DataFrame) -> DataFrame:
