@@ -324,6 +324,20 @@ def q_embedding_near_dup_banded(spark, sf_dir):
     )
 
 
+def q_curation(spark, sf_dir):
+    """Composed training-data curation over documents: exact-dedup keepers
+    ∧ quality gates (length, type-token ratio, stopword ceiling) — the
+    end-to-end selection a pretraining pipeline runs, as ONE plan."""
+    docs = _load(spark, sf_dir, "documents")
+    d = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    q = quality_score(docs).filter(
+        (F.col("n_words") >= 8)
+        & (F.col("ttr_x1000") >= 400)
+        & (F.col("stop_x1000") <= 400)
+    ).select("doc_id", "n_words", "ttr_x1000", "stop_x1000")
+    return d.join(q, "doc_id")
+
+
 def q_langid(spark, sf_dir):
     return langid_ngram(_load(spark, sf_dir, "documents"))
 
@@ -424,6 +438,114 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+# Deterministic resource-tag pages for the S6 oracle: (url, assets) where
+# assets are (kind, path) pairs rendered into HTML by q_outlinks_resources
+# and re-derived as expected rows by the oracle WITHOUT running the
+# extractor (validateLink semantics applied to the construction data).
+_RESOURCE_PAGES = [
+    ("http://rsrc0.example/dir/page.html",
+     [("script", "/js/app.js"), ("link", "/css/site.css"),
+      ("img", "img/pic.png"), ("img", "http://cdn.example/abs.gif"),
+      ("link", "/feed.xml"), ("img", "/noext/raw")]),
+    ("http://rsrc1.example/index.html",
+     [("script", "lib/vendor.js"), ("img", "/a/b.jpg")]),
+    ("http://rsrc2.example/p.html", []),
+]
+
+
+def q_outlinks_resources(spark, sf_dir):
+    """S6 resource/prefetch extraction over a constructed page set; the
+    oracle re-derives expectations from _RESOURCE_PAGES directly."""
+    from ideacrawler_spark.functions.extract import resources_table
+
+    rows = []
+    for url, assets in _RESOURCE_PAGES:
+        parts = ["<html><head>"]
+        for kind, path in assets:
+            if kind == "script":
+                parts.append(f'<script src="{path}"></script>')
+            elif kind == "link":
+                parts.append(f'<link rel="stylesheet" href="{path}">')
+        parts.append("</head><body>")
+        for kind, path in assets:
+            if kind == "img":
+                parts.append(f'<img src="{path}">')
+        parts.append('<a href="/not-a-resource.html">x</a></body></html>')
+        rows.append((url, "".join(parts).encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    return resources_table(pages)
+
+
+def _resources_oracle_sql() -> str:
+    from urllib.parse import urljoin
+
+    rows = []
+    for url, assets in _RESOURCE_PAGES:
+        # selector-group order: scripts, then links, then imgs
+        ordered = [p for k, p in assets if k == "script"] + \
+                  [p for k, p in assets if k == "link"] + \
+                  [p for k, p in assets if k == "img"]
+        import re as _re
+
+        pos = 0
+        for path in ordered:
+            seg = path.split("/")[-1]
+            # validateLink: last segment must contain '.<word>'; .xml skipped
+            if _re.search(r"\.\w", seg) is None or path.endswith(".xml"):
+                continue
+            resolved = path if path.startswith("http") else urljoin(url, path)
+            rows.append(f"('{url}', {pos}::INT, '{resolved}')")
+            pos += 1
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(url, pos, resource)")
+
+
+# Constructed pages for the boilerplate oracle: the kept blocks are the
+# long paragraphs BY CONSTRUCTION (nav/footer are pure link blocks with
+# density 1; the short block is under min_chars), so the oracle derives
+# main_text from this literal data without running the extractor.
+_BOILER_PAGES = [
+    ("http://bp0.example/a.html",
+     ["This is the first real paragraph of the article body.",
+      "A second substantive paragraph with enough characters to keep."]),
+    ("http://bp1.example/b.html",
+     ["Only one long content paragraph lives on this page here."]),
+    ("http://bp2.example/c.html", []),
+]
+
+
+def q_main_text(spark, sf_dir):
+    """Boilerplate removal (textops/boilerplate.py): link-dense nav and
+    footer blocks drop, short blocks drop, article paragraphs stay."""
+    from ideacrawler_spark.textops.boilerplate import extract_main_text
+
+    rows = []
+    for url, paras in _BOILER_PAGES:
+        html = ['<html><body><div><a href="/">Home</a> <a href="/x">X</a>'
+                ' <a href="/y">Y</a></div>']
+        for p in paras:
+            html.append(f"<p>{p}</p>")
+        html.append("<p>tiny</p>")
+        html.append('<div><a href="/about">About</a> <a href="/c">C</a></div>')
+        html.append("</body></html>")
+        rows.append((url, "".join(html).encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    return extract_main_text(pages).select(
+        "url", "main_text", "n_kept", "main_len")
+
+
+def _main_text_oracle_sql() -> str:
+    rows = []
+    for url, paras in _BOILER_PAGES:
+        main = "\n".join(paras)
+        esc = main.replace("'", "''")
+        rows.append(
+            f"('{url}', '{esc}', {len(paras)}::INT, {len(main)}::INT)"
+        )
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(url, main_text, n_kept, main_len)")
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -452,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_metrics": q_crawl_metrics,
         "eligibility": q_eligibility,
         "outlink_sets": q_outlink_sets,
+        "outlinks_resources": q_outlinks_resources,
         "canonicalize": q_canonicalize,
         "resolve": q_resolve,
         "host_shard": q_host_shard,
@@ -466,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "curation": q_curation,
         "langid": q_langid,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -475,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_groups": q_lineitem_groups,
         "crawl_flagship": q_crawl_flagship,
         "warc_ingest": q_warc_ingest,
+        "main_text": q_main_text,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -711,6 +836,30 @@ def oracle_sql() -> dict[str, str]:
                              AND a.vec_id < b.vec_id
             WHERE {_DOTQ_SQL.format(a='a.q', b='b.q')} >= 10000000
         """,
+        "curation": """
+            WITH keepers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                         AS keep
+                FROM documents) WHERE keep),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+                  FROM documents),
+            stops AS (SELECT ['the','a','an','and','or','of','to','in','is',
+                              'it','for','on','with','as','at','by','be',
+                              'this','that','are'] AS sw),
+            q AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     (1000 * len(list_distinct(ws))) // len(ws) AS ttr_x1000,
+                     (1000 * len(list_filter(ws, x -> list_contains(sw, lower(x)))))
+                       // len(ws) AS stop_x1000
+              FROM w, stops)
+            SELECT k.doc_id, q.n_words, q.ttr_x1000, q.stop_x1000
+            FROM keepers k JOIN q ON k.doc_id = q.doc_id
+            WHERE q.n_words >= 8 AND q.ttr_x1000 >= 400
+              AND q.stop_x1000 <= 400
+        """,
         "langid": """
             WITH wrd AS (
               SELECT doc_id, lang, w
@@ -798,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         # on the exact same rows after its distributed round loop.
         "crawl_flagship": _flagship_oracle_sql(),
         "warc_ingest": _warc_oracle_sql(),
+        "outlinks_resources": _resources_oracle_sql(),
+        "main_text": _main_text_oracle_sql(),
         # Independent SQL recomputation of the deterministic synth-media
         # formula (textops/multimodal.py synth_media): payload byte j of
         # media i is (i*37 + j*11) % 251 with (i%7+1)*32 bytes — n_bytes

@@ -110,3 +110,57 @@ def test_subscribe_streams_each_round(spark, web, web_dfs):
     r_at_close = eng2.round
     assert eng2.round == r_at_close  # nothing advances afterwards
     assert eng2.round < ref["rounds"]
+
+
+def test_stateful_host_rate_limiter(spark, tmp_path):
+    """applyInPandasWithState: per-host token-bucket state persists across
+    micro-batches — a host throttled in batch 1 continues exactly where
+    it left off in batch 2 (gap-free admit_seq)."""
+    import json as _json
+
+    from ideacrawler_spark.streaming.stateful import rate_limited_stream
+
+    src = tmp_path / "frontier"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: hosta floods 8 urls (budget 3/batch), hostb sends 2
+    write_batch("b1.json", [
+        dict(host="hosta", url=f"http://hosta/p/{i}", depth=0, seq=i)
+        for i in range(8)
+    ] + [
+        dict(host="hostb", url=f"http://hostb/p/{i}", depth=0, seq=i)
+        for i in range(2)
+    ])
+    # batch 2: hosta sends 1 more (still rationed), hostb idle
+    write_batch("b2.json", [
+        dict(host="hosta", url="http://hosta/p/99", depth=0, seq=99),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "host string, url string, depth int, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        rate_limited_stream(stream, budget_per_batch=3, max_tokens=6)
+        .writeStream.format("memory").queryName("admitted")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("admitted").collect()
+    a = sorted((r["admit_seq"], r["url"]) for r in rows if r["host"] == "hosta")
+    b = sorted((r["admit_seq"], r["url"]) for r in rows if r["host"] == "hostb")
+    # hosta: batch1 admits 3 (seq 0-2), batch2 grants 3 more tokens and
+    # admits the ONE remaining new row — admit_seq continues at 3
+    assert [u for _, u in a[:3]] == [f"http://hosta/p/{i}" for i in range(3)]
+    assert a[3] == (3, "http://hosta/p/99")
+    assert len(a) == 4
+    # hostb: both rows admitted in batch 1
+    assert [u for _, u in b] == ["http://hostb/p/0", "http://hostb/p/1"]
+    assert [s for s, _ in b] == [0, 1]

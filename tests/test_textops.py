@@ -129,3 +129,39 @@ def test_banded_near_dup_bucket_cap_bounds_skew(spark):
         emb, threshold_dot_q=-(1 << 60), n_bands=1, planes_per_band=4,
     ).count()
     assert uncapped > 19000
+
+
+def test_boilerplate_blocks_and_density():
+    from ideacrawler_spark.textops.boilerplate import main_text_of, text_blocks
+
+    html = (b"<html><head><title>T</title>"
+            b"<script>var x = 'ignored entirely';</script></head><body>"
+            b'<div><a href="/">Home</a> <a href="/x">Products</a></div>'
+            b"<p>A real paragraph with plenty of actual content text.</p>"
+            b"<p>short</p>"
+            b'<p>Mixed block where <a href="/ref">a small link</a> sits in '
+            b"much longer surrounding prose that keeps density low.</p>"
+            b'<div><a href="/a">A</a><a href="/b">B</a><a href="/c">C</a></div>'
+            b"</body></html>")
+    blocks = text_blocks(html)
+    assert not any("ignored" in t for t, _, _ in blocks)  # script skipped
+    txt, n_blocks, n_kept = main_text_of(html)
+    assert "real paragraph" in txt
+    assert "Mixed block" in txt          # low-density anchor stays
+    assert "Home" not in txt             # pure-link nav drops
+    assert "short" not in txt            # under min_chars
+    assert n_kept == 2 and n_blocks >= 4
+
+
+def test_extract_main_text_spark(spark):
+    from ideacrawler_spark.textops.boilerplate import extract_main_text
+
+    rows = [("http://h/x", b"<p>A paragraph long enough to clear the "
+                           b"minimum character threshold.</p>"
+                           b'<div><a href="/">nav nav nav</a></div>'),
+            ("http://h/y", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in extract_main_text(df).collect()}
+    assert got["http://h/x"]["n_kept"] == 1
+    assert got["http://h/x"]["main_text"].startswith("A paragraph")
+    assert got["http://h/y"]["n_blocks"] == 0
