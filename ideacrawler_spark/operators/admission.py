@@ -36,7 +36,8 @@ def order_key(depth_col, seq_col):
 
 
 def admit_budget(frontier: DataFrame, host_budget_col, global_budget=None,
-                 salt: int = 16) -> Tuple[DataFrame, DataFrame]:
+                 salt: int = 16,
+                 host_budget_max: int | None = None) -> Tuple[DataFrame, DataFrame]:
     """Split frontier into (admitted, carried) for one round.
 
     ``frontier`` must carry columns host, depth, seq; ``host_budget_col`` is
@@ -49,20 +50,36 @@ def admit_budget(frontier: DataFrame, host_budget_col, global_budget=None,
     ``salt`` parallel slices per host — which provably contains the true
     per-host top-budget; phase 2 ranks only those ≤ salt×budget survivors.
     Exact same result as the unsalted window, bounded task size.
+
+    ``host_budget_max``: a LITERAL upper bound on every row's budget
+    (driver-computable: max over the robots dim of JobSpec.host_budget).
+    When given, the rank filters gain a ``rn <= literal`` conjunct, which
+    lets Catalyst insert WindowGroupLimit — a partial per-task top-k that
+    replaces the full window SORT with a bounded heap BEFORE the
+    exchange. Same rows out (the literal dominates every per-row budget);
+    profiled at 16M rows this was the single largest cost of the round
+    prelude.
     """
     fr = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
     ).withColumn("_hb", host_budget_col)
+
+    def cap(rn_col):
+        cond = rn_col <= F.col("_hb")
+        if host_budget_max is not None:
+            cond = (rn_col <= F.lit(int(host_budget_max))) & cond
+        return cond
+
     w1 = Window.partitionBy("host", "_salt").orderBy("depth", "seq")
     p1 = fr.withColumn("_rn1", F.row_number().over(w1))
-    survivors = p1.filter(F.col("_rn1") <= F.col("_hb")).drop("_rn1")
-    carried1 = p1.filter(F.col("_rn1") > F.col("_hb")).drop(
+    survivors = p1.filter(cap(F.col("_rn1"))).drop("_rn1")
+    carried1 = p1.filter(~cap(F.col("_rn1"))).drop(
         "_rn1", "_salt", "_hb")
     w2 = Window.partitionBy("host").orderBy("depth", "seq")
     p2 = survivors.withColumn("_rn2", F.row_number().over(w2))
-    host_admitted = p2.filter(F.col("_rn2") <= F.col("_hb")).drop(
+    host_admitted = p2.filter(cap(F.col("_rn2"))).drop(
         "_rn2", "_salt", "_hb")
-    carried2 = p2.filter(F.col("_rn2") > F.col("_hb")).drop(
+    carried2 = p2.filter(~cap(F.col("_rn2"))).drop(
         "_rn2", "_salt", "_hb")
     carried = carried1.unionByName(carried2)
     if global_budget is None:

@@ -112,6 +112,7 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
         fresh.withColumnRenamed("url_norm", "url"),  # salt source
         F.lit(host_budget),
         None if global_budget >= n else global_budget,
+        host_budget_max=host_budget,  # literal ⇒ WindowGroupLimit partial top-k
     )
     ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
                          num_partitions=parts)
@@ -158,6 +159,7 @@ def frontier_round_narrow(spark: SparkSession, n: int, host_budget: int = 500,
               .withColumnRenamed("host_hash", "host"),
         F.lit(host_budget),
         None if global_budget >= n else global_budget,
+        host_budget_max=host_budget,
     )
     ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
                          num_partitions=parts)

@@ -68,6 +68,11 @@ class CrawlEngine:
         self.spec = spec
         self.pages = pages
         self.robots_host = self._prep_robots(robots) if robots is not None else None
+        # literal upper bound on any host's budget (max over the robots
+        # dim's crawl delays + the no-robots default) — computed ONCE (the
+        # dim is broadcast-small); lets admission use WindowGroupLimit
+        # partial top-k instead of full window sorts (admission.py)
+        self._host_budget_max = self._max_host_budget()
         self.pushes = sorted(pushes or [], key=lambda p: (int(p.get("round", 0)), int(p.get("seq", 0))))
         self.ckpt = checkpoint_dir
         self.nparts = shuffle_partitions
@@ -134,6 +139,18 @@ class CrawlEngine:
             g.withColumn("_rn", w).filter(F.col("_rn") == 1)
             .select("host", "crawl_delay", "rules")
         )
+
+    def _max_host_budget(self) -> int:
+        budgets = [self.spec.host_budget(0.0)]
+        if self.robots_host is not None and not self.spec.impolite:
+            delays = [
+                r["crawl_delay"]
+                for r in self.robots_host.select("crawl_delay").distinct().collect()
+            ]
+            budgets += [
+                self.spec.host_budget(float(d)) for d in delays if d is not None
+            ]
+        return max(budgets)
 
     # ------------------------------------------------------------------
     def _empty_frontier(self) -> DataFrame:
@@ -317,6 +334,7 @@ class CrawlEngine:
             seen_filter=self.seen_filter,
             global_budget=global_budget,
             n_pending=n_pending,
+            host_budget_max=self._host_budget_max,
         )
         # ONE metrics action computes the whole round pipeline and fills
         # every persisted mid-frame (VERDICT r01: four separate collects

@@ -103,6 +103,7 @@ def run_round(
     seen_filter: str = "bloom",
     global_budget: Optional[int] = None,
     n_pending: Optional[int] = None,
+    host_budget_max: Optional[int] = None,
 ) -> RoundResult:
     metrics = dict(round=rnd)
     if global_budget is None:
@@ -122,7 +123,10 @@ def run_round(
                      .withColumn("rules", F.lit(None).cast(
                          "array<struct<rule_seq:int,rule_path:string,"
                          "allow:boolean,fetch_status:int>>"))
-    admitted, carried = admit_budget(fr, _host_budget_col(spec), effective_gb)
+    admitted, carried = admit_budget(
+        fr, _host_budget_col(spec), effective_gb,
+        host_budget_max=host_budget_max,
+    )
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 
