@@ -292,6 +292,46 @@ def q_embedding_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_load(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_train(spark, sf_dir):
+    """Lloyd-iteration IVF training (2 iterations, all-integer) — the
+    iterative-algorithm class, fully oracle-checked."""
+    from ideacrawler_spark.textops.similarity import ivf_train
+
+    return ivf_train(_load(spark, sf_dir, "embeddings"), iters=2)
+
+
+def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
+                          dim: int = 64) -> str:
+    dist = _DISTQ_SQL
+    parts = [f"WITH {_QUANT_SQL},",
+             f"c0 AS (SELECT vec_id AS cell, q AS cq FROM emb "
+             f"WHERE vec_id < {n_cells})"]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+            a{it} AS (
+              SELECT vec_id, q, cell FROM (
+                SELECT e.vec_id, e.q, c.cell,
+                       {dist.format(a='e.q', b='c.cq')} AS d
+                FROM emb e CROSS JOIN {prev} c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) = 1),
+            m{it} AS (
+              -- Spark div() TRUNCATES toward zero; DuckDB // FLOORS —
+              -- they differ on negative sums, so truncate explicitly
+              SELECT a.cell, (i - 1)::INT AS dim,
+                     (CASE WHEN sum(a.q[i]) < 0
+                           THEN -((-sum(a.q[i])) // count(*))
+                           ELSE sum(a.q[i]) // count(*) END)::BIGINT AS c
+              FROM a{it} a, range(1, {dim + 1}) t(i)
+              GROUP BY a.cell, i - 1),
+            c{it} AS (
+              SELECT cell, list(c ORDER BY dim) AS cq
+              FROM m{it} GROUP BY cell)""")
+    parts.append(f" SELECT cell, dim, c FROM m{iters}")
+    return "".join(parts)
+
+
 def q_ivf_topk(spark, sf_dir):
     from ideacrawler_spark.textops.similarity import ivf_topk
 
@@ -585,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_train": q_ivf_train,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
@@ -796,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        "ivf_train": _ivf_train_oracle_sql(),
         "ann_lsh_buckets": _ANN_BUCKETS_SQL,
         "embedding_near_dup": f"""
             WITH {_QUANT_SQL}, {_planes_values_sql()},

@@ -208,6 +208,56 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     )
 
 
+def ivf_train(embeddings: DataFrame, n_cells: int = N_CELLS,
+              iters: int = 2, dim: int = 64) -> DataFrame:
+    """Lloyd iterations for the IVF coarse quantizer — the iterative
+    algorithm the ivf_assign docstring promised. All-integer math so the
+    result is engine-exact: centroids start as the first ``n_cells``
+    vectors; each iteration assigns every vector to its nearest centroid
+    by quantized squared-L2 (ties → lowest cell id) and recomputes each
+    cell's centroid as the per-dimension INTEGER mean (div(sum, count) —
+    no float summation order anywhere). Cells that lose all members
+    vanish (standard Lloyd behavior). Output: (cell, dim, c) rows.
+
+    Scale shape per iteration: centroids broadcast → shuffle-free argmin
+    map stage → posexplode + (cell, dim) hash aggregation (map-side
+    partial sums). Iterations are a driver-side loop over lazy plans —
+    no collect."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        joined = emb.crossJoin(F.broadcast(cents))
+        scored = joined.select(
+            "vec_id", "q", "cell", dist_q(F.col("q"), F.col("cq")).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cell"))
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "cell", "q")
+        )
+        dims = assigned.select(
+            "cell", F.posexplode(F.col("q")).alias("dim", "v")
+        )
+        means = dims.groupBy("cell", "dim").agg(
+            F.expr("div(sum(v), count(*))").alias("c")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cq")
+            )
+        )
+    return cents.select(
+        "cell", F.posexplode(F.col("cq")).alias("dim", "c")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
              n_cells: int = N_CELLS, n_probe: int = N_PROBE) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per

@@ -165,3 +165,31 @@ def test_extract_main_text_spark(spark):
     assert got["http://h/x"]["n_kept"] == 1
     assert got["http://h/x"]["main_text"].startswith("A paragraph")
     assert got["http://h/y"]["n_blocks"] == 0
+
+
+def test_ivf_train_lloyd_iterations(spark):
+    """Lloyd training: 2 iterations, all-integer means; centroids move
+    from their seeds and every surviving cell has exactly dim rows."""
+    from ideacrawler_spark.textops.similarity import ivf_train, quantized
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_train(emb, n_cells=4, iters=2, dim=64).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+    assert set(by_cell) <= set(range(4))
+    for dims in by_cell.values():
+        assert len(dims) == 64
+    # training moved at least one centroid off its seed vector
+    seeds = {
+        r["vec_id"]: r["cq"] for r in
+        emb.filter(F.col("vec_id") < 4)
+           .select("vec_id", quantized(F.col("embedding")).alias("cq"))
+           .collect()
+    }
+    moved = any(
+        any(by_cell[c][d] != seeds[c][d] for d in range(64))
+        for c in by_cell if c in seeds
+    )
+    assert moved
