@@ -892,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
                               'this','that','are'] AS sw),
             q AS (
               SELECT doc_id,
-                     len(ws) AS n_words,
+                     len(ws)::INT AS n_words,
                      (1000 * len(list_distinct(ws))) // len(ws) AS ttr_x1000,
                      (1000 * len(list_filter(ws, x -> list_contains(sw, lower(x)))))
                        // len(ws) AS stop_x1000
@@ -929,12 +929,13 @@ def oracle_sql() -> dict[str, str]:
                               'it','for','on','with','as','at','by','be',
                               'this','that','are'] AS sw)
             SELECT doc_id,
-                   len(ws) AS n_words,
-                   len(list_distinct(ws)) AS n_distinct,
+                   len(ws)::INT AS n_words,
+                   len(list_distinct(ws))::INT AS n_distinct,
                    (1000 * len(list_distinct(ws))) // len(ws) AS ttr_x1000,
-                   list_max(list_transform(ws, x -> length(x))) AS max_word_len,
-                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-                   len(list_filter(ws, x -> list_contains(sw, lower(x))))
+                   list_max(list_transform(ws, x -> length(x)))::INT
+                     AS max_word_len,
+                   len(regexp_extract_all(text, '[.,!?;:]'))::INT AS n_punct,
+                   len(list_filter(ws, x -> list_contains(sw, lower(x))))::INT
                      AS n_stop,
                    (1000 * len(list_filter(ws, x -> list_contains(sw, lower(x)))))
                      // len(ws) AS stop_x1000
@@ -942,10 +943,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id,
-                   len(string_split_regex(text, '\s+')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                   len(string_split_regex(text, '\s+'))::INT AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT
                      AS re_tokens,
-                   length(text) AS n_chars_computed
+                   length(text)::INT AS n_chars_computed
             FROM documents
         """,
         "fingerprint": f"""

@@ -77,17 +77,33 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            # the driver value-hash is type-width-sensitive: DuckDB HUGEINT
-            # (e.g. bare list_sum over BIGINT[]) vs Spark BIGINT hash-differs
-            # even when the values match, so flag it here.
+            # the driver value-hash is type-WIDTH-sensitive: any cross-engine
+            # type mismatch (HUGEINT vs BIGINT, INTEGER vs BIGINT, ...) can
+            # hash-differ even when the values match — compare the full
+            # column type maps, not just values.
             rel = con.sql(sql)
-            wide = [
-                (c, str(t)) for c, t in zip(rel.columns, rel.types)
-                if str(t) in ("HUGEINT", "UHUGEINT")
-            ]
-            if wide:
-                failures.append((name, f"oracle emits int128 cols {wide}"))
-                print(f"FAIL {name}: oracle emits int128 cols {wide}")
+            duck_types = {
+                c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)
+            }
+            spark_types = {c.lower(): t for c, t in sdf.dtypes}
+            _MAP = {
+                "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+                "TINYINT": "tinyint", "VARCHAR": "string",
+                "BOOLEAN": "boolean", "DOUBLE": "double", "FLOAT": "float",
+                "TIMESTAMP": "timestamp",
+            }
+            mismatches = []
+            for c, dt in duck_types.items():
+                st = spark_types.get(c)
+                want = _MAP.get(dt)
+                if st is None or want is None:
+                    if want is None:
+                        mismatches.append((c, dt, st, "unmapped-duck-type"))
+                elif st != want:
+                    mismatches.append((c, dt, st, "width/type"))
+            if mismatches:
+                failures.append((name, f"column type mismatch {mismatches}"))
+                print(f"FAIL {name}: column type mismatch {mismatches}")
                 continue
             cur = con.execute(sql)
             dcols = [d[0].lower() for d in cur.description]
