@@ -277,7 +277,8 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"))
+    # bucket_cap bounds a boilerplate mega-bucket's self-join at C(64,2)
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), bucket_cap=64)
 
 
 def q_simhash(spark, sf_dir):
@@ -586,11 +587,84 @@ def _main_text_oracle_sql() -> str:
             + ") AS t(url, main_text, n_kept, main_len)")
 
 
+# xpath-extraction fixture pages. The expectation columns in the oracle
+# VALUES literal are derived BY HAND from these input literals (what a
+# correct first-node evaluator must return), never from the evaluator.
+_XPATH_PAGES = [
+    ("http://x.example/a",
+     "<html><head><title>Page A</title></head><body>"
+     "<div class='hero'><span>hero <b>bold</b> A</span></div>"
+     "<div class='foot'><span>foot A</span></div>"
+     "<a class='l' href='/1'>  first A </a></body></html>",
+     "Page A", "foot A", "hero bold A", "  first A "),
+    ("http://x.example/b",
+     "<html><head><title>B &amp; Co</title></head><body>"
+     "<div class='foot'>plain foot</div>"
+     "<a class='l' href='/2'>linkB</a><a class='l' href='/3'>other</a>"
+     "</body></html>",
+     "B & Co", "plain foot", "", "linkB"),
+    ("http://x.example/c",
+     "<html><head><title>C</title></head><body>"
+     "<div><span>no-class span</span></div></body></html>",
+     "C", "", "no-class span", ""),
+    ("http://x.example/d",
+     "<html><body><div class='foot'><div class='foot'>inner</div></div>"
+     "<script><title>not a node</title></script></body></html>",
+     "", "inner", "", ""),
+]
+
+
+def q_xpath_extract(spark, sf_dir):
+    """Widened xpath subset (attribute predicates, child axis) as a
+    first-class extraction query over constructed pages."""
+    import pandas as pd
+
+    from ideacrawler_spark.functions.extract import xpath_first_value
+
+    pages = spark.createDataFrame(
+        [(u, h.encode()) for (u, h, *_rest) in _XPATH_PAGES],
+        "url string, html binary",
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "title": [xpath_first_value(b, "//title")
+                              for b in pdf["html"]],
+                    "foot": [xpath_first_value(b, "//div[@class='foot']")
+                             for b in pdf["html"]],
+                    "first_div_span": [xpath_first_value(b, "//div/span")
+                                       for b in pdf["html"]],
+                    "first_anchor": [xpath_first_value(b, "//a[@class='l']")
+                                     for b in pdf["html"]],
+                }
+            )
+
+    return pages.mapInPandas(
+        batches,
+        schema="url string, title string, foot string, "
+               "first_div_span string, first_anchor string",
+    )
+
+
+def _xpath_oracle_sql() -> str:
+    rows = []
+    for url, _html, title, foot, div_span, anchor in _XPATH_PAGES:
+        vals = ", ".join("'" + v.replace("'", "''") + "'"
+                         for v in (url, title, foot, div_span, anchor))
+        rows.append(f"({vals})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(url, title, foot, first_div_span, first_anchor)")
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark)).select(
-        "media_id", "kind", "n_bytes", "checksum"
+        "media_id", "kind", "n_bytes", "checksum",
+        "dec_width", "dec_height", "dec_duration_ms", "dec_nsamples",
     )
 
 
@@ -641,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": q_crawl_flagship,
         "warc_ingest": q_warc_ingest,
         "main_text": q_main_text,
+        "xpath_extract": q_xpath_extract,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -758,9 +833,13 @@ def oracle_sql() -> dict[str, str]:
             bands AS (
               SELECT doc_id, CAST(j // 2 AS INT) AS band,
                      md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
-              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT))
+              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT)),
+            capped AS (
+              SELECT doc_id, band, band_sig FROM bands
+              QUALIFY row_number() OVER (PARTITION BY band, band_sig
+                                         ORDER BY doc_id) <= 64)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
         """,
@@ -992,19 +1071,72 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _warc_oracle_sql(),
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),
+        "xpath_extract": _xpath_oracle_sql(),
         # Independent SQL recomputation of the deterministic synth-media
-        # formula (textops/multimodal.py synth_media): payload byte j of
-        # media i is (i*37 + j*11) % 251 with (i%7+1)*32 bytes — n_bytes
-        # and checksum are pure arithmetic, so DuckDB re-derives them
-        # without touching the Python decode path.
+        # formulas (textops/multimodal.py synth_media): images are REAL
+        # 24bpp BMPs and audio REAL PCM16 WAVs, so n_bytes, checksum
+        # (header byte layout included, little-endian length fields
+        # decomposed arithmetically), decoded dims and duration are all
+        # pure arithmetic — DuckDB re-derives what the Python decoders
+        # parse from actual bytes, without touching that code path.
         "multimodal_features": """
-            SELECT i::BIGINT AS media_id,
-                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
-                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                   ((i % 7 + 1) * 32)::INT AS n_bytes,
-                   (list_sum(list_transform(range(0, (i % 7 + 1) * 32),
-                        j -> (i * 37 + j * 11) % 251)))::BIGINT AS checksum
-            FROM range(0, 64) t(i)
+            WITH base AS (SELECT i FROM range(0, 64) t(i)),
+            img AS (
+              SELECT i, (4 + i % 5)::BIGINT AS w, (3 + i % 4)::BIGINT AS h,
+                     ((3 * (4 + i % 5) + 3) // 4 * 4)::BIGINT AS stride
+              FROM base WHERE i % 3 = 0),
+            img_out AS (
+              SELECT i::BIGINT AS media_id, 'image' AS kind,
+                     (54 + stride * h)::INT AS n_bytes,
+                     (143                                       -- 'BM'
+                      + (54 + stride*h) % 256 + ((54 + stride*h) // 256) % 256
+                        + ((54 + stride*h) // 65536) % 256
+                        + ((54 + stride*h) // 16777216) % 256   -- file size LE4
+                      + 54 + 40 + w + h + 1 + 24                -- offset, DIB, dims, planes, bpp
+                      + (stride*h) % 256 + ((stride*h) // 256) % 256
+                        + ((stride*h) // 65536) % 256
+                        + ((stride*h) // 16777216) % 256        -- image size LE4
+                      + 60                                      -- 2x 2835 ppm
+                      + list_sum(flatten(list_transform(range(0, h), y ->
+                          flatten(list_transform(range(0, w), x ->
+                            list_transform(range(0, 3), c ->
+                              (i*7 + x*3 + y*5 + c*11) % 256))))))
+                     )::BIGINT AS checksum,
+                     w::INT AS dec_width, h::INT AS dec_height,
+                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
+              FROM img),
+            aud AS (
+              SELECT i, ((i % 7 + 1) * 40)::BIGINT AS n
+              FROM base WHERE i % 3 = 1),
+            aud_out AS (
+              SELECT i::BIGINT AS media_id, 'audio' AS kind,
+                     (44 + 2 * n)::INT AS n_bytes,
+                     (1692                                      -- RIFF/WAVE/fmt body/data literals
+                      + (36 + 2*n) % 256 + ((36 + 2*n) // 256) % 256
+                        + ((36 + 2*n) // 65536) % 256
+                        + ((36 + 2*n) // 16777216) % 256        -- riff size LE4
+                      + (2*n) % 256 + ((2*n) // 256) % 256
+                        + ((2*n) // 65536) % 256
+                        + ((2*n) // 16777216) % 256             -- data len LE4
+                      + list_sum(list_transform(range(0, n), j ->
+                          ((i*31 + j*17) % 32768) % 256
+                          + ((i*31 + j*17) % 32768) // 256))    -- PCM16 LE bytes
+                     )::BIGINT AS checksum,
+                     NULL::INT AS dec_width, NULL::INT AS dec_height,
+                     (n * 1000 // 8000)::INT AS dec_duration_ms,
+                     n::INT AS dec_nsamples
+              FROM aud),
+            vid_out AS (
+              SELECT i::BIGINT AS media_id, 'video' AS kind,
+                     ((i % 7 + 1) * 32)::INT AS n_bytes,
+                     (list_sum(list_transform(range(0, (i % 7 + 1) * 32),
+                          j -> (i * 37 + j * 11) % 251)))::BIGINT AS checksum,
+                     NULL::INT AS dec_width, NULL::INT AS dec_height,
+                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
+              FROM base WHERE i % 3 = 2)
+            SELECT * FROM img_out
+            UNION ALL SELECT * FROM aud_out
+            UNION ALL SELECT * FROM vid_out
         """,
     }
 

@@ -171,30 +171,154 @@ def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
     return out
 
 
-def xpath_first_value(html: bytes | str | None, path: str) -> str:
-    """First-node string value for the ``//tag`` xpath subset.
+# ---- xpath subset (callback decision F7) ----------------------------------
+#
+# The reference evaluates each CallbackXpathMatch/CallbackXpathRegexp key
+# with antchfx/xpath on an html DOM and compares the FIRST node's string
+# value for EQUALITY — even for the "Regexp" variant (job.go:233-269, the
+# documented quirk). No xpath library ships in this sandbox, so the
+# evaluator below builds a mini-DOM on the stdlib tokenizer and supports
+# the location-path subset real callback specs use:
+#   //tag   //tag[@attr='v']   //div/span   //div//span   /html/head/title
+#   (* as a wildcard tag; child and descendant axes; one attribute
+#   predicate per step). String value = concatenated descendant text of
+#   the first match in document order (antchfx Value()); no match or an
+#   unsupported expression → empty string (antchfx: empty node value).
 
-    The reference evaluates each CallbackXpathMatch/CallbackXpathRegexp key
-    with antchfx/xpath and compares the first node's string value for
-    EQUALITY — even for the \"Regexp\" variant (job.go:233-269, the
-    documented quirk). With no xpath library in this sandbox, the fixture
-    contract (FIXTURES.md HTML subset) allows an exact regex evaluator for
-    ``//tag`` paths: first occurrence of the tag, inner text, tags
-    stripped. Unknown node → empty string (antchfx: empty node value)."""
-    if html is None or not path.startswith("//"):
+_VOID_TAGS = {"area", "base", "br", "col", "embed", "hr", "img", "input",
+              "link", "meta", "param", "source", "track", "wbr"}
+
+
+class _MiniNode:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # str (text) | _MiniNode
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: nearest-open-tag end matching, void elements
+    never nest, script/style are raw text (HTMLParser CDATA mode)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _MiniNode("#root", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _MiniNode(tag, dict(attrs))
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(_MiniNode(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        self._stack[-1].children.append(data)
+
+
+def _build_tree(html: bytes | str) -> _MiniNode:
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", "replace")
+    b = _TreeBuilder()
+    try:
+        b.feed(html)
+        b.close()
+    except Exception:  # noqa: BLE001 — parser never takes down a batch
+        pass
+    return b.root
+
+
+_RX_XPATH_STEP = re.compile(
+    r"^([A-Za-z][\w-]*|\*)"                      # tag or *
+    r"(?:\[@([\w-]+)=(['\"])(.*?)\3\])?$"        # optional [@attr='v']
+)
+
+
+def _parse_xpath(path: str):
+    """Location path → [(descendant_axis, tag, attr, value), ...] or None
+    if the expression is outside the supported subset."""
+    if not path.startswith("/"):
+        return None
+    parts = path.split("/")
+    steps, descendant, idx = [], False, 1
+    while idx < len(parts):
+        p = parts[idx]
+        if p == "":
+            if descendant:  # '///' — not a location path
+                return None
+            descendant = True
+            idx += 1
+            continue
+        m = _RX_XPATH_STEP.match(p)
+        if m is None:
+            return None
+        steps.append((descendant, m.group(1).lower(), m.group(2), m.group(4)))
+        descendant = False
+        idx += 1
+    return steps or None
+
+
+def _iter_descendants(node: _MiniNode):
+    for c in node.children:
+        if isinstance(c, _MiniNode):
+            yield c
+            yield from _iter_descendants(c)
+
+
+def _eval_xpath(root: _MiniNode, steps) -> list:
+    current = [root]
+    for descendant, tag, attr, val in steps:
+        nxt, seen = [], set()
+        for n in current:
+            cands = _iter_descendants(n) if descendant else (
+                c for c in n.children if isinstance(c, _MiniNode))
+            for c in cands:
+                if tag != "*" and c.tag != tag:
+                    continue
+                if attr is not None and (c.attrs.get(attr) or "") != val:
+                    continue
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    nxt.append(c)
+        if not nxt:
+            return []
+        current = nxt
+    return current
+
+
+def _node_string_value(node: _MiniNode) -> str:
+    out: list = []
+
+    def rec(n: _MiniNode):
+        for c in n.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                rec(c)
+
+    rec(node)
+    return "".join(out)
+
+
+def xpath_first_value(html: bytes | str | None, path: str) -> str:
+    """First-node string value of ``path`` over ``html`` (subset above)."""
+    if html is None:
         return ""
-    tag = path[2:].strip().lower()
-    if not tag.isalnum():
+    steps = _parse_xpath(path.strip())
+    if steps is None:
         return ""
-    if isinstance(html, str):
-        html = html.encode("utf-8")
-    m = re.search(
-        rb"<" + tag.encode() + rb"[^>]*>(.*?)</" + tag.encode() + rb">",
-        html, re.DOTALL | re.IGNORECASE,
-    )
-    if m is None:
-        return ""
-    return _RX_TAG.sub(b"", m.group(1)).decode("utf-8", "replace")
+    nodes = _eval_xpath(_build_tree(html), steps)
+    return _node_string_value(nodes[0]) if nodes else ""
 
 
 def xpath_all_equal(html, pairs) -> bool:

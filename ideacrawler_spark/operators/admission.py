@@ -25,14 +25,32 @@ from typing import Tuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Order key packing: depth is bounded (< 2^20), per-round seq < 2^40.
+# Order key packing: depth is bounded (< 2^23), per-round seq < 2^40.
 _SEQ_BITS = 40
+_DEPTH_MAX = 1 << 23  # depth*2^40 must stay under 2^63
 _BUCKET_BITS = 28  # bucket = key >> 28 → ~dozens of buckets at test scale
 
 
 def order_key(depth_col, seq_col):
-    """(depth, seq) → one sortable long: depth*2^40 + seq."""
-    return (depth_col.cast("long") * F.lit(1 << _SEQ_BITS) + seq_col.cast("long"))
+    """(depth, seq) → one sortable long: depth*2^40 + seq.
+
+    Packing is only order-preserving while seq < 2^40 and depth < 2^23
+    (else the long overflows); rows past the bound FAIL LOUDLY instead of
+    silently mis-ordering (a 10^10-URL frontier assigns ~2^33 seqs per
+    round — 2^40 is headroom, not a ceiling to ride). ``assert_true``
+    evaluates NULL on success, so the coalesce adds 0 per row."""
+    seq = seq_col.cast("long")
+    depth = depth_col.cast("long")
+    guard = F.assert_true(
+        (seq >= 0) & (seq < F.lit(1 << _SEQ_BITS))
+        & (depth >= 0) & (depth < F.lit(_DEPTH_MAX)),
+        F.lit(f"order_key packing overflow: need 0 <= seq < 2^{_SEQ_BITS} "
+              f"and 0 <= depth < 2^23"),
+    )
+    # guard rides on the multiply's LEFT operand so it evaluates before
+    # the multiplication can hit Spark's own ANSI overflow error
+    depth_checked = depth + F.coalesce(guard.cast("long"), F.lit(0))
+    return depth_checked * F.lit(1 << _SEQ_BITS) + seq
 
 
 def admit_budget(frontier: DataFrame, host_budget_col, global_budget=None,

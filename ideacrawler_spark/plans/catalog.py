@@ -1,0 +1,104 @@
+"""The round-commit catalog seam — swap parquet+manifest for Iceberg.
+
+The crawl engine's durability contract is exactly Iceberg's snapshot
+model: per round, every output table is written, then ONE atomic commit
+makes the round visible; readers only ever see committed rounds; resume
+restores the latest committed snapshot. ``ParquetManifestCatalog``
+implements that protocol over plain parquet directories with a
+``_COMMIT.json`` manifest rename as the visibility point — the only
+mechanism available in this sandbox (no Iceberg catalog service).
+
+Mapping to a real Iceberg catalog (the production cutover, one class):
+
+| seam call              | parquet impl (here)               | Iceberg impl                                   |
+|------------------------|-----------------------------------|------------------------------------------------|
+| write(df, rnd, table)  | parquet to round=<r>/<table>/     | append to table partitioned by round           |
+| commit(rnd, manifest)  | atomic rename of _COMMIT.json     | snapshot commit (manifest as snapshot summary) |
+| last_committed()       | scan round dirs for manifests     | current snapshot's max committed round         |
+| read(rnd, table)       | read round=<r>/<table>/           | snapshot read with round = <r> predicate       |
+| has_table(rnd, table)  | directory existence               | partition existence in snapshot metadata       |
+| aux_path(name)         | <root>/<name> directory           | object-store prefix next to the table          |
+
+The engine never touches the filesystem for round state except through
+this interface (Bloom/cuckoo shard files go through ``aux_path``/
+``round_path`` + operators/shardfs.py, which already speaks pyarrow.fs
+URIs — hdfs:// and s3:// included), so the crawl/commit/resume tests run
+unchanged against either implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetManifestCatalog:
+    """Iceberg-snapshot-protocol stand-in over parquet + JSON manifests."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---- paths ----------------------------------------------------------
+    def round_path(self, rnd: int, table: str) -> str:
+        return os.path.join(self.root, f"round={rnd}", table)
+
+    def aux_path(self, name: str) -> str:
+        """Non-round auxiliary state (seen_init, bloom_init shard dirs)."""
+        return os.path.join(self.root, name)
+
+    # ---- tables ---------------------------------------------------------
+    def write(self, df: DataFrame, rnd: int, table: str) -> DataFrame:
+        """Write a round output; return the re-read (lineage-cut) frame."""
+        path = self.round_path(rnd, table)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def write_aux(self, df: DataFrame, name: str) -> DataFrame:
+        path = self.aux_path(name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def read(self, rnd: int, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.round_path(rnd, table))
+
+    def read_aux(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.aux_path(name))
+
+    def has_table(self, rnd: int, table: str) -> bool:
+        return os.path.isdir(self.round_path(rnd, table))
+
+    # ---- commits --------------------------------------------------------
+    def commit(self, rnd: int, manifest: dict) -> None:
+        """Make round ``rnd`` visible — atomic rename is the commit point."""
+        tmp = os.path.join(self.root, f"round={rnd}", "_COMMIT.json.tmp")
+        final = os.path.join(self.root, f"round={rnd}", "_COMMIT.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)
+
+    def is_committed(self, rnd: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.root, f"round={rnd}", "_COMMIT.json"))
+
+    def manifest(self, rnd: int) -> Optional[dict]:
+        p = os.path.join(self.root, f"round={rnd}", "_COMMIT.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def last_committed(self) -> int:
+        """Highest committed round, or -1."""
+        if not os.path.isdir(self.root):
+            return -1
+        best = -1
+        for name in os.listdir(self.root):
+            if name.startswith("round="):
+                r = int(name.split("=", 1)[1])
+                if self.is_committed(r):
+                    best = max(best, r)
+        return best

@@ -18,8 +18,6 @@ restarts from it — frontier offsets + seen-set + counters included.
 
 from __future__ import annotations
 
-import json
-import os
 from typing import List, Optional
 from urllib.parse import urlsplit
 
@@ -29,6 +27,7 @@ from pyspark.sql import types as T
 
 from ideacrawler_spark.config import DelaySampler, JobSpec
 from ideacrawler_spark.functions.urlnorm import canonicalize
+from ideacrawler_spark.plans.catalog import ParquetManifestCatalog
 from ideacrawler_spark.plans.round import FRONTIER_SCHEMA, run_round
 
 SEEN_SCHEMA = T.StructType([T.StructField("key", T.StringType())])
@@ -63,6 +62,7 @@ class CrawlEngine:
         shuffle_partitions: int = 32,
         bloom_shards: int = 64,
         seen_filter: str = "bloom",   # or "cuckoo" (operators/cuckoo.py)
+        seen_compact_every: int = 8,
     ):
         self.spark = spark
         self.spec = spec
@@ -75,6 +75,10 @@ class CrawlEngine:
         self._host_budget_max = self._max_host_budget()
         self.pushes = sorted(pushes or [], key=lambda p: (int(p.get("round", 0)), int(p.get("seq", 0))))
         self.ckpt = checkpoint_dir
+        # all round-state durability goes through the catalog seam
+        # (plans/catalog.py): parquet+manifest here, Iceberg in production
+        self.catalog = (ParquetManifestCatalog(spark, checkpoint_dir)
+                        if checkpoint_dir else None)
         self.nparts = shuffle_partitions
         self.bloom_shards = bloom_shards
         self.seen_filter = seen_filter
@@ -83,6 +87,13 @@ class CrawlEngine:
         self._sampler = DelaySampler.for_spec(spec)
         self._cancelled = False
         self._frontier_count = 0  # tracked exactly; avoids count() jobs
+        # seen-set checkpoints are per-round DELTAS (only this round's new
+        # keys — O(|new|) IO), compacted to one full table every
+        # ``seen_compact_every`` rounds (the Iceberg snapshot/compaction
+        # model; VERDICT r02 #2: full rewrites made total crawl IO
+        # O(N * rounds) at the 10^10-URL target)
+        self.seen_compact_every = max(1, seen_compact_every)
+        self._seen_parts: List[DataFrame] = []
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -167,6 +178,7 @@ class CrawlEngine:
                 self.pushes = []
                 self.frontier = self._empty_frontier()
                 self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+                self._seen_parts = [self.seen]
                 self.bloom_dir = None
                 return
             rows.append(
@@ -185,13 +197,17 @@ class CrawlEngine:
         # seed enters the seen-set AS GIVEN, unnormalized (job.go:776)
         seen_rows = [(spec.seed_url,)] if spec.seed_url else []
         self.seen = self.spark.createDataFrame(seen_rows, SEEN_SCHEMA)
+        if self.ckpt:
+            # delta-checkpoint base: the initial seen rows, written once
+            self.seen = self.catalog.write_aux(self.seen, "seen_init")
+        self._seen_parts = [self.seen]
         # Bloom shards mirror the seen-set (superset invariant: every seen
         # key must be folded in before it can be anti-joined against)
         self.bloom_dir = None
         if self.ckpt:
             update_shards = self._update_shards_fn()
 
-            init_dir = os.path.join(self.ckpt, "bloom_init")
+            init_dir = self.catalog.aux_path("bloom_init")
             update_shards(
                 self.seen.select(F.xxhash64("key").alias("key_hash")),
                 None, init_dir, n_shards=self.bloom_shards,
@@ -235,9 +251,7 @@ class CrawlEngine:
     def _materialize(self, df: DataFrame, table: str, rnd: int) -> DataFrame:
         """Write a round output and return the re-read (lineage-cut) frame."""
         if self.ckpt:
-            path = os.path.join(self.ckpt, f"round={rnd}", table)
-            df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+            return self.catalog.write(df, rnd, table)
         return df.localCheckpoint(eager=True)
 
     def _commit_round(self, rnd: int):
@@ -252,39 +266,40 @@ class CrawlEngine:
             metrics=self.metrics[-1] if self.metrics else None,
             spec=self.spec.to_dict(),
         )
-        tmp = os.path.join(self.ckpt, f"round={rnd}", "_COMMIT.json.tmp")
-        final = os.path.join(self.ckpt, f"round={rnd}", "_COMMIT.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, final)  # atomic visibility point
+        self.catalog.commit(rnd, manifest)  # atomic visibility point
 
     def last_committed_round(self) -> int:
         """Highest round with a commit manifest, or -1."""
-        if not self.ckpt or not os.path.isdir(self.ckpt):
-            return -1
-        best = -1
-        for name in os.listdir(self.ckpt):
-            if name.startswith("round="):
-                r = int(name.split("=", 1)[1])
-                if os.path.exists(os.path.join(self.ckpt, name, "_COMMIT.json")):
-                    best = max(best, r)
-        return best
+        return self.catalog.last_committed() if self.catalog else -1
 
     def resume(self) -> bool:
         """Restore state from the last committed round. True if resumed."""
         r = self.last_committed_round()
         if r < 0:
             return False
-        base = os.path.join(self.ckpt, f"round={r}")
-        with open(os.path.join(base, "_COMMIT.json")) as f:
-            manifest = json.load(f)
-        self.frontier = self.spark.read.parquet(os.path.join(base, "frontier_next"))
-        self.seen = self.spark.read.parquet(os.path.join(base, "seen"))
+        manifest = self.catalog.manifest(r)
+        self.frontier = self.catalog.read(r, "frontier_next")
+        # seen-set = latest compaction (seen_full) + the deltas after it;
+        # with no compaction yet, the base is the job's seen_init
+        parts: List[DataFrame] = []
+        compact_round = -1
+        for i in range(r, -1, -1):
+            if self.catalog.has_table(i, "seen_full") and self.catalog.is_committed(i):
+                compact_round = i
+                parts.append(self.catalog.read(i, "seen_full"))
+                break
+        if compact_round < 0:
+            parts.append(self.catalog.read_aux("seen_init"))
+        for i in range(compact_round + 1, r + 1):
+            if self.catalog.has_table(i, "seen_delta"):
+                parts.append(self.catalog.read(i, "seen_delta"))
+        self._seen_parts = parts
+        self.seen = self._union_balanced(parts)
         self.round = r + 1
         self.seq_offset = manifest["seq_offset"]
         self.fetch_seq_offset = manifest["fetch_seq_offset"]
-        bloom = os.path.join(base, "bloom")
-        self.bloom_dir = bloom if os.path.isdir(bloom) else None
+        self.bloom_dir = (self.catalog.round_path(r, "bloom")
+                          if self.catalog.has_table(r, "bloom") else None)
         # shard count is a property of the persisted state, not the caller
         self.bloom_shards = int(manifest.get("bloom_shards", self.bloom_shards))
         self.seen_filter = manifest.get("seen_filter", self.seen_filter)
@@ -347,8 +362,8 @@ class CrawlEngine:
         # unchanged: _COMMIT.json still lands after every write returns)
         from concurrent.futures import ThreadPoolExecutor
 
-        seen_all = self.seen.unionByName(res.seen_new).repartition(
-            self.nparts, "key")
+        # seen checkpoint is the DELTA only (this round's new keys):
+        # per-round checkpoint IO is O(|new|), not O(|seen|)
         with ThreadPoolExecutor(max_workers=6) as pool:
             f_shipped = pool.submit(self._materialize, res.shipped, "shipped", rnd)
             f_order = pool.submit(
@@ -358,19 +373,19 @@ class CrawlEngine:
             f_outlinks = pool.submit(self._materialize, res.outlinks, "outlinks", rnd)
             f_frontier = pool.submit(
                 self._materialize, res.frontier_next, "frontier_next", rnd)
-            f_seen = pool.submit(self._materialize, seen_all, "seen", rnd)
+            f_seen = pool.submit(self._materialize, res.seen_new, "seen_delta", rnd)
         shipped = f_shipped.result()
         order = f_order.result()
         f_pm.result()
         outlinks = f_outlinks.result()
         frontier_next = f_frontier.result()
-        seen_next = f_seen.result()
+        seen_delta = f_seen.result()
         if self.ckpt:
             # fold this round's new keys into the filter shards; the new
             # shard directory becomes part of the round's atomic commit
             update_shards = self._update_shards_fn()
 
-            bloom_next = os.path.join(self.ckpt, f"round={rnd}", "bloom")
+            bloom_next = self.catalog.round_path(rnd, "bloom")
             update_shards(
                 res.seen_new.select(F.xxhash64("key").alias("key_hash")),
                 self.bloom_dir, bloom_next, n_shards=self.bloom_shards,
@@ -396,17 +411,33 @@ class CrawlEngine:
         self._frontier_count = int(n_front)
         for df in getattr(res, "_cached", []):
             df.unpersist()
-        # the SUPERSEDED frontier/seen localCheckpoints are non-evictable
-        # blocks (lineage-truncated): free them or each round pins a full
-        # copy of the growing seen-set for the session's lifetime
+        # the SUPERSEDED frontier localCheckpoint is a non-evictable block
+        # (lineage-truncated): free it or each round pins a copy for the
+        # session's lifetime. (Seen deltas stay pinned — they compose the
+        # live seen-set until the next compaction frees them.)
         if not self.ckpt:
-            for old in (self.frontier, self.seen):
-                try:
-                    old.unpersist()
-                except Exception:  # noqa: BLE001 — non-persisted frames
-                    pass
+            try:
+                self.frontier.unpersist()
+            except Exception:  # noqa: BLE001 — non-persisted frames
+                pass
         self.frontier = frontier_next
-        self.seen = seen_next
+        self._seen_parts.append(seen_delta)
+        self.seen = self._union_balanced(list(self._seen_parts))
+        if (rnd + 1) % self.seen_compact_every == 0:
+            # compaction: one full rewrite every k rounds keeps the union
+            # shallow and bounds read amplification — the Iceberg
+            # snapshot-compaction rhythm. Written before _COMMIT.json so
+            # it is covered by this round's atomic commit.
+            compacted = self._materialize(
+                self.seen.repartition(self.nparts, "key"), "seen_full", rnd)
+            if not self.ckpt:
+                for d in self._seen_parts:
+                    try:
+                        d.unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
+            self._seen_parts = [compacted]
+            self.seen = compacted
         self._shipped.append(shipped)
         self._order.append(order)
         self._outlinks.append(outlinks)
@@ -483,31 +514,34 @@ class CrawlEngine:
         self.drain()
         return self.results()
 
+    @staticmethod
+    def _union_balanced(parts: List[DataFrame]) -> Optional[DataFrame]:
+        """Balanced unionByName fold: O(log n)-deep plan instead of the
+        O(n)-deep left chain (analyzer cost grows with plan depth)."""
+        while len(parts) > 1:
+            parts = [
+                parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts)
+                else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0] if parts else None
+
     def results(self) -> dict:
         """Assemble the output tables from all committed rounds."""
         out = {}
         if self.ckpt:
             # read ALL committed rounds from disk (covers resumed runs too)
             for name in ("shipped", "order", "outlinks"):
-                parts = []
-                for r in range(self.round):
-                    p = os.path.join(self.ckpt, f"round={r}", name)
-                    if os.path.exists(os.path.join(self.ckpt, f"round={r}", "_COMMIT.json")) and os.path.isdir(p):
-                        parts.append(self.spark.read.parquet(p))
-                df = None
-                for part in parts:
-                    df = part if df is None else df.unionByName(part)
-                out[name] = df
+                parts = [
+                    self.catalog.read(r, name)
+                    for r in range(self.round)
+                    if self.catalog.is_committed(r) and self.catalog.has_table(r, name)
+                ]
+                out[name] = self._union_balanced(parts)
         else:
             dfs = dict(shipped=self._shipped, order=self._order, outlinks=self._outlinks)
             for name, parts in dfs.items():
-                if parts:
-                    df = parts[0]
-                    for p in parts[1:]:
-                        df = df.unionByName(p)
-                    out[name] = df
-                else:
-                    out[name] = None
+                out[name] = self._union_balanced(list(parts))
         out["seen"] = self.seen
         out["metrics"] = self.metrics
         out["rounds"] = self.round

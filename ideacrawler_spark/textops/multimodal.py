@@ -1,10 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested; the actual media decoding is STUBBED with a
-deterministic fake because no image/audio libraries ship in this sandbox
-(clearly marked below — swap ``_fake_decode`` for PIL/soundfile on a real
-cluster).
+signatures) is real and tested. REAL decoders are implemented for the two
+container formats the stdlib can parse without media libraries: WAV
+(RIFF chunk walk + PCM samples) and BMP (BITMAPINFOHEADER + 24bpp pixel
+rows) — ``decode_wav`` / ``decode_bmp`` below parse actual bytes with
+``struct``/numpy, never trusting metadata columns. Formats that genuinely
+need a media library (mp4/png/jpeg...) fall back to the clearly-marked
+``_fake_decode`` stub — swap it for PIL/ffmpeg on a real cluster.
 
 Pattern: ``mapInPandas`` over an iterator of Arrow batches so one task
 never materializes more than one batch of binary payloads — the shape that
@@ -14,7 +17,8 @@ payload, so partition pruning and predicate pushdown still work on it.
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -28,8 +32,103 @@ MEDIA_SCHEMA = (
 )
 FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes int, checksum long, "
+    "dec_width int, dec_height int, dec_duration_ms int, dec_nsamples int, "
     "feat array<float>"
 )
+
+
+# --------------------------------------------------------------------------
+# real decoders (stdlib-only): WAV PCM and BMP 24bpp
+# --------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> Optional[dict]:
+    """Parse a RIFF/WAVE container: generic chunk walk to 'fmt ' + 'data',
+    then PCM int16 samples. Returns None unless the bytes really are a
+    valid PCM WAV (magic + chunk structure checked, metadata not trusted)."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None  # only uncompressed PCM16 here
+    samples = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+    n_frames = samples.size // channels
+    feat = [
+        float(c.mean()) if c.size else 0.0
+        for c in np.array_split(samples.astype(np.float64), 8)
+    ]
+    return dict(
+        dec_width=None, dec_height=None,
+        dec_duration_ms=int(n_frames * 1000 // rate),
+        dec_nsamples=int(n_frames),
+        feat=np.asarray(feat, dtype=np.float32),
+    )
+
+
+def decode_bmp(payload: bytes) -> Optional[dict]:
+    """Parse a BMP (BITMAPINFOHEADER, 24bpp uncompressed): header fields
+    via struct, then the padded bottom-up pixel rows. Returns None unless
+    the bytes parse as such a BMP."""
+    if payload is None or len(payload) < 54 or payload[0:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    dib_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    if w <= 0 or h == 0 or data_off < 54:
+        return None
+    rows = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * rows,
+                       offset=data_off).reshape(rows, stride)
+    bgr = px[:, : 3 * w].reshape(rows, w, 3).astype(np.float64)
+    feat = np.zeros(8, dtype=np.float32)
+    feat[0], feat[1] = float(w), float(rows)
+    feat[2:5] = bgr.mean(axis=(0, 1)).astype(np.float32)  # B, G, R means
+    feat[5] = float(bgr.max())
+    feat[6] = float(bgr.min())
+    feat[7] = float(stride)
+    return dict(
+        dec_width=int(w), dec_height=int(rows),
+        dec_duration_ms=None, dec_nsamples=None, feat=feat,
+    )
+
+
+def make_wav(samples, rate: int = 8000) -> bytes:
+    """Serialize int16 mono PCM samples as a canonical 44-byte-header WAV."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def make_bmp(pixels_bgr: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 BGR array as a 24bpp bottom-up BMP."""
+    h, w, _ = pixels_bgr.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = pixels_bgr.reshape(h, 3 * w)
+    data = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return hdr + data
 
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -47,14 +146,27 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode/feature-extract media payloads via Arrow-batched mapInPandas."""
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    Real decode where the container allows it (WAV, BMP — sniffed from the
+    BYTES, the mime/kind columns are never trusted); stub features for
+    formats needing a media library. The dec_* columns carry values parsed
+    from the payload itself (NULL for stub-decoded rows)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _fake_decode(p, k).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            dw, dh, dd, dn, feats = [], [], [], [], []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                dec = decode_bmp(p) or decode_wav(p)
+                if dec is None:
+                    dec = dict(dec_width=None, dec_height=None,
+                               dec_duration_ms=None, dec_nsamples=None,
+                               feat=_fake_decode(p, k))
+                dw.append(dec["dec_width"])
+                dh.append(dec["dec_height"])
+                dd.append(dec["dec_duration_ms"])
+                dn.append(dec["dec_nsamples"])
+                feats.append([float(x) for x in dec["feat"]])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -64,6 +176,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                         int(np.frombuffer(p or b"", dtype=np.uint8).sum())
                         for p in pdf["payload"]
                     ],
+                    # pandas nullable ints: NULLs survive Arrow → Spark int
+                    "dec_width": pd.array(dw, dtype="Int32"),
+                    "dec_height": pd.array(dh, dtype="Int32"),
+                    "dec_duration_ms": pd.array(dd, dtype="Int32"),
+                    "dec_nsamples": pd.array(dn, dtype="Int32"),
                     "feat": feats,
                 }
             )
@@ -117,19 +234,39 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64):
-    """Deterministic fake media table for tests."""
+    """Deterministic media table for tests: REAL BMP bytes for images,
+    REAL WAV PCM bytes for audio (both fully arithmetic — the DuckDB
+    oracle re-derives n_bytes/checksum/dims/duration from the same
+    formulas without touching the Python decoders), and an opaque blob
+    for video (the stub-decode path)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(((i * 37 + j * 11) % 251) for j in range((i % 7 + 1) * 32))
+        if kind == "image":
+            w, h = 4 + i % 5, 3 + i % 4
+            px = np.fromfunction(
+                lambda y, x, c: (i * 7 + x * 3 + y * 5 + c * 11) % 256,
+                (h, w, 3),
+            ).astype(np.uint8)
+            payload = make_bmp(px)
+            width, height, duration = w, h, None
+        elif kind == "audio":
+            nsamp = (i % 7 + 1) * 40
+            payload = make_wav(
+                [(i * 31 + j * 17) % 32768 for j in range(nsamp)], rate=8000)
+            width = height = None
+            duration = nsamp * 1000 // 8000
+        else:
+            payload = bytes(
+                ((i * 37 + j * 11) % 251) for j in range((i % 7 + 1) * 32))
+            width = height = None
+            duration = (i % 10 + 1) * 500
         rows.append(
             dict(
                 media_id=i, kind=kind, payload=payload,
-                mime={"image": "image/png", "audio": "audio/wav",
+                mime={"image": "image/bmp", "audio": "audio/wav",
                       "video": "video/mp4"}[kind],
-                width=64 + i % 128 if kind == "image" else None,
-                height=64 + i % 64 if kind == "image" else None,
-                duration_ms=(i % 10 + 1) * 500 if kind != "image" else None,
+                width=width, height=height, duration_ms=duration,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

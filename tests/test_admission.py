@@ -64,3 +64,24 @@ def test_binding_global_budget_e2e(spark, web, web_dfs):
     for _, _, rnd in order:
         per_round[rnd] = per_round.get(rnd, 0) + 1
     assert max(per_round.values()) <= 2 and len(per_round) >= 4
+
+
+def test_order_key_packing_boundary(spark):
+    """(depth, seq) packing is exact up to seq = 2^40 - 1 and FAILS LOUDLY
+    at 2^40 (silent wraparound would mis-order the frontier)."""
+    import pytest
+
+    from ideacrawler_spark.operators.admission import order_key
+
+    ok = spark.createDataFrame(
+        [(0, (1 << 40) - 1), (5, 123)], "depth int, seq long")
+    vals = sorted(
+        r["k"] for r in
+        ok.select(order_key(F.col("depth"), F.col("seq")).alias("k")).collect())
+    assert vals == [(1 << 40) - 1, 5 * (1 << 40) + 123]
+    bad = spark.createDataFrame([(0, 1 << 40)], "depth int, seq long")
+    with pytest.raises(Exception, match="order_key packing overflow"):
+        bad.select(order_key(F.col("depth"), F.col("seq")).alias("k")).collect()
+    deep = spark.createDataFrame([(1 << 23, 0)], "depth long, seq long")
+    with pytest.raises(Exception, match="order_key packing overflow"):
+        deep.select(order_key(F.col("depth"), F.col("seq")).alias("k")).collect()

@@ -194,3 +194,60 @@ def test_checkpointed_cuckoo_crawl_matches_refsim(spark, web, web_dfs, tmp_path)
     want = [(o["fetch_seq"], o["url"]) for o in golden.order]
     assert got == want
     assert {r["key"] for r in out["seen"].collect()} == set(golden.seen)
+
+
+def test_seen_delta_layout_and_compaction(spark, web, web_dfs, tmp_path):
+    """Seen checkpoints are per-round DELTAS (O(|new|) rows each) with a
+    full compaction every k rounds — never a full rewrite per round
+    (VERDICT r02 #2: O(N*rounds) checkpoint IO at the 10^10-URL target)."""
+    import os
+
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    ck = str(tmp_path / "ck")
+    out = CrawlEngine(spark, _spec(max_rounds=8, depth=3), pages_df,
+                      robots_df, pushes, checkpoint_dir=ck,
+                      shuffle_partitions=8, bloom_shards=8,
+                      seen_compact_every=3).run()
+    total_seen = out["seen"].count()
+    delta_rows = spark.read.parquet(f"{ck}/seen_init").count()
+    for r in range(out["rounds"]):
+        assert not os.path.isdir(f"{ck}/round={r}/seen")  # no full rewrites
+        d = f"{ck}/round={r}/seen_delta"
+        if os.path.isdir(d):
+            delta_rows += spark.read.parquet(d).count()
+    # the deltas partition the final seen-set exactly (no overlap, no loss)
+    assert delta_rows == total_seen
+    compactions = [r for r in range(out["rounds"])
+                   if os.path.isdir(f"{ck}/round={r}/seen_full")]
+    assert compactions  # at least one compaction landed
+    full = spark.read.parquet(f"{ck}/round={compactions[-1]}/seen_full")
+    assert full.count() <= total_seen
+
+
+def test_resume_after_compaction_equivalence(spark, web, web_dfs, tmp_path):
+    """Crash-resume that lands AFTER a compaction round reconstructs the
+    seen-set from (latest seen_full + later deltas) and finishes identical
+    to the uninterrupted crawl."""
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    full_spec = _spec(max_rounds=8, depth=3)
+    ref = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ref"),
+                      shuffle_partitions=8, bloom_shards=8,
+                      seen_compact_every=2).run()
+    ref_state = _final_state(ref)
+    assert ref["rounds"] > 3
+    ck = str(tmp_path / "crash")
+    cut_spec = dataclasses.replace(full_spec, max_rounds=3)
+    CrawlEngine(spark, cut_spec, pages_df, robots_df, pushes,
+                checkpoint_dir=ck, shuffle_partitions=8, bloom_shards=8,
+                seen_compact_every=2).run()
+    import os
+    # the cut run committed a compaction before the crash point
+    assert any(os.path.isdir(f"{ck}/round={r}/seen_full") for r in range(3))
+    eng2 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8,
+                       bloom_shards=8, seen_compact_every=2)
+    out2 = eng2.run(resume=True)
+    assert _final_state(out2) == ref_state

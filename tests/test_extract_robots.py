@@ -128,3 +128,34 @@ def test_robots_group_selection():
     assert select_group(groups, "fetchx") == "prefix"
     assert select_group(groups, "otherbot") == "star"
     assert select_group({}, "x") is None
+
+
+def test_xpath_subset_vectors():
+    """Widened xpath subset (VERDICT r02 #6): attribute predicates, child
+    and descendant axes, nested paths, wildcard — antchfx first-node +
+    untrimmed concatenated-text string value semantics."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><head><title>The &amp; Title</title></head><body>"
+         b'<div class="main"><span>inner <b>bold</b> text</span></div>'
+         b'<div class="side"><span>side text</span></div>'
+         b'<ul><li id="a">one</li><li id="b">two</li></ul>'
+         b'<script>var t = "<title>not me</title>";</script>'
+         b"</html>")
+    assert x(h, "//title") == "The & Title"          # entities decoded (DOM)
+    assert x(h, "//div[@class='side']") == "side text"
+    assert x(h, '//div[@class="side"]/span') == "side text"
+    assert x(h, "//div/span") == "inner bold text"   # first in doc order
+    assert x(h, "//div//b") == "bold"
+    assert x(h, "/html/head/title") == "The & Title"
+    assert x(h, "//li[@id='b']") == "two"
+    assert x(h, "//*[@id='b']") == "two"
+    # script content is raw text: the <title> inside it is NOT a node
+    assert x(h, "//script") == 'var t = "<title>not me</title>";'
+    assert x(h, "//nosuch") == ""
+    assert x(h, "//div[@class='nope']") == ""
+    assert x(h, "not-an-xpath") == ""
+    assert x(h, "//div[position()=2]") == ""         # outside subset
+    assert x(None, "//title") == ""
+    # untrimmed string values (strings.TrimSpace is NOT applied)
+    assert x(b"<p>  padded  </p>", "//p") == "  padded  "

