@@ -659,6 +659,37 @@ def _xpath_oracle_sql() -> str:
             + ") AS t(url, title, foot, first_div_span, first_anchor)")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster consolidation: connected components (min-label
+    propagation to fixpoint — the iterative-algorithm class) over the
+    capped MinHash LSH candidate pairs."""
+    from ideacrawler_spark.textops.dedup import dedup_components
+
+    pairs = minhash_lsh_pairs(_load(spark, sf_dir, "documents"), bucket_cap=64)
+    return dedup_components(pairs)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-sampled training-data mix: per-language integer
+    rates over the portable h60 hash (map-side filter, no shuffle)."""
+    from ideacrawler_spark.textops.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        rates={"en": (2, 3), "de": (1, 2), "zh": (1, 4)},
+        default_rate=(1, 8),
+    ).select("doc_id", "lang", "source")
+
+
+_SAMPLE_RATE_SQL = """
+    CASE lang WHEN 'en' THEN {h} % 3 < 2
+              WHEN 'de' THEN {h} % 2 < 1
+              WHEN 'zh' THEN {h} % 4 < 1
+              ELSE {h} % 8 < 1 END
+""".format(h=_h60_sql("CAST(doc_id AS VARCHAR)"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -716,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
+        "dedup_components": q_dedup_components,
+        "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1072,6 +1105,42 @@ def oracle_sql() -> dict[str, str]:
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),
         "xpath_extract": _xpath_oracle_sql(),
+        # Transitive closure of the capped LSH pairs via WITH RECURSIVE —
+        # an entirely different algorithm (recursive SQL reachability)
+        # than the engine's min-label propagation loop, landing on the
+        # same (doc_id, min reachable id) fixpoint.
+        "dedup_components": f"""
+            WITH RECURSIVE {_SHINGLES_SQL}, {_PERMS_SQL},
+            mh AS (
+              SELECT doc_id, j, min((a * sh + b) % 2147483647) AS mh
+              FROM sh CROSS JOIN perms GROUP BY doc_id, j),
+            bands AS (
+              SELECT doc_id, CAST(j // 2 AS INT) AS band,
+                     md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT)),
+            capped AS (
+              SELECT doc_id, band, band_sig FROM bands
+              QUALIFY row_number() OVER (PARTITION BY band, band_sig
+                                         ORDER BY doc_id) <= 64),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+            edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+                      UNION SELECT pb, pa FROM pairs),
+            reach(src, dst) AS (
+              SELECT ea, eb FROM edges
+              UNION
+              SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.dst)
+            SELECT src::BIGINT AS doc_id,
+                   least(src, min(dst))::BIGINT AS component
+            FROM reach GROUP BY src
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_SAMPLE_RATE_SQL}
+        """,
         # Independent SQL recomputation of the deterministic synth-media
         # formulas (textops/multimodal.py synth_media): images are REAL
         # 24bpp BMPs and audio REAL PCM16 WAVs, so n_bytes, checksum

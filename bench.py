@@ -209,12 +209,26 @@ def main():
         .repartition(16).persist()
     pages_df.count()  # materialize before the clock (Arrow path, no py4j)
     robots_df = spark.createDataFrame(robots, ROBOTS_SCHEMA)
+    # warm the crawl plan shape once, untimed (whole-stage codegen +
+    # python workers) — the same treatment the frontier_round legs get;
+    # the metric is steady-state round latency, not JIT compilation
+    import dataclasses
+
+    CrawlEngine(spark, dataclasses.replace(spec, max_rounds=2,
+                                           job_id="bench-e2e-warm"),
+                pages_df, robots_df, shuffle_partitions=16).run()
     # like the scaling pair: retry under neighbor load, record every
     # attempt's loadavg so the committed number is interpretable
     E2E_TARGET_SPR = 7.0
     e2e_attempts = []
     e2e_best = None
     for i in range(int(os.environ.get("SPARK_GRAFT_E2E_ATTEMPTS", "3"))):
+        # drop the previous attempt's leftover blocks (superseded
+        # localCheckpoints pile up across engines and slow later
+        # attempts), then re-materialize the input cache off the clock
+        spark.catalog.clearCache()
+        pages_df.persist()
+        pages_df.count()
         if i > 0:
             _wait_for_quiet(max_wait_s=120)
         load0 = os.getloadavg()[0]

@@ -222,3 +222,54 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
              ).alias("jaccard_den"),
         )
     )
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id, component)
+    with component = the smallest doc_id transitively reachable. This is
+    the cluster-consolidation step a real dedup pipeline needs after LSH
+    pair generation — one keeper (the min id) per near-dup CLUSTER, not
+    per pair.
+
+    Algorithm: iterative min-label propagation (the standard large-scale
+    CC on Spark — each iteration is one equi-join + one partial-agg
+    groupBy, both shuffle-keyed on doc_id; no driver-side graph). Rounds
+    needed = graph diameter, which for near-dup clusters is tiny; each
+    iteration localCheckpoints the label frame so lineage stays flat.
+    Convergence is detected with a bounded `limit(1).count()` probe.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels, edges["b"] == labels["doc_id"]
+        ).select(F.col("a").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -252,3 +252,53 @@ def test_minhash_lsh_bucket_cap_bounds_skew(spark):
     uncapped = [r for r in minhash_lsh_pairs(docs).collect()
                 if r["doc_a"] < 100 and r["doc_b"] < 100]
     assert len(uncapped) == 780  # C(40,2) — the quadratic blow-up the cap stops
+
+
+def test_dedup_components_transitive(spark):
+    """Min-label propagation finds transitive near-dup clusters: chains
+    collapse to the cluster-min keeper, disjoint clusters stay apart."""
+    from ideacrawler_spark.textops.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 40), (5, 6), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 40: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_stratified_sample_exact_hash_rule(spark):
+    """Hash sampling is deterministic and matches the independent md5
+    arithmetic exactly (the oracle's rule, recomputed driver-side)."""
+    import hashlib
+
+    from ideacrawler_spark.textops.sampling import (
+        stratified_sample, weighted_mix,
+    )
+
+    langs = ["en", "de", "fr"]
+    docs = spark.createDataFrame(
+        [(i, "t", langs[i % 3], "s") for i in range(300)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = stratified_sample(
+        docs, {"en": (1, 2), "de": (1, 4)}, default_rate=(0, 1)).collect()
+    want = {
+        i for i in range(300)
+        if (langs[i % 3] == "en" and h60(str(i)) % 2 < 1)
+        or (langs[i % 3] == "de" and h60(str(i)) % 4 < 1)
+    }
+    assert {r["doc_id"] for r in out} == want
+    assert all(r["lang"] != "fr" for r in out)  # default rate 0 drops all
+
+    mix = weighted_mix({
+        "web": (docs.filter(F.col("lang") == "en"), (1, 2)),
+        "books": (docs.filter(F.col("lang") == "de"), (1, 4)),
+    }).collect()
+    assert {r["doc_id"] for r in mix} == want
+    assert {r["mix_source"] for r in mix} == {"web", "books"}
