@@ -34,6 +34,16 @@ class JobSpec:
     callback_xpath_regexp: tuple = ()       # proto callbackXpathRegexp
     unsafe_normalize: bool = False          # proto unsafeNormalizeURL (job.go:826-832)
     check_content: bool = False             # proto checkContent → HEAD-first (job.go:811-814)
+    # F11 (HTTP-side half): the per-page login-session guard
+    # (job.go:157-185). The form-login itself is chrome/client-side and
+    # stays a non-goal; the guard is pure HTTP logic: after each OK page,
+    # the first-node value of the check xpath must equal the expected
+    # value CASE-INSENSITIVELY, else an error page (status 1502
+    # NolongerLoggedIn, statuscodes.go:8) ships with an EMPTY url and the
+    # job cancels (cancelChan <- struct{}{}).
+    login: bool = False                     # proto login
+    check_login_after_each_page: bool = False  # proto checkLoginAfterEachPage
+    login_success_check: Optional[tuple] = None  # proto loginSuccessCheck (xpath, value)
     min_delay_s: int = 5                    # proto minDelay (Doer floors at 1s, doer.go:62-71)
     max_delay_s: int = 0                    # proto maxDelay; 0 ⇒ fixed delay
     max_concurrent: int = 5                 # proto maxConcurrentRequests (doer.go:36-41)

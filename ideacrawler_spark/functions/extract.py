@@ -326,6 +326,18 @@ def xpath_all_equal(html, pairs) -> bool:
     return all(xpath_first_value(html, p) == v for p, v in pairs)
 
 
+def xpath_value_udf(path):
+    """pandas UDF html → first-node string value of ``path`` (used by the
+    login-session guard, job.go:157-185)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _val(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: xpath_first_value(b, path))
+
+    return _val
+
+
 def xpath_match_udf(pairs):
     """pandas UDF html → bool: every xpath pair equals its value."""
     from pyspark.sql.functions import pandas_udf

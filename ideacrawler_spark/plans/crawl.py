@@ -403,6 +403,12 @@ class CrawlEngine:
                 self.bloom_dir, bloom_next, n_shards=self.bloom_shards,
             )
             self.bloom_dir = bloom_next
+        m["logged_out"] = int(cnt["n_logged_out"] or 0)
+        if m["logged_out"] > 0:
+            # the login-session guard tripped: the reference pushes
+            # cancelChan (job.go:181) — cancel at the round boundary,
+            # committed rounds stay visible (cancel() semantics)
+            self._cancelled = True
         m["admitted"] = int(cnt["admitted"] or 0)
         m["robots_denied"] = int(cnt["robots_denied"] or 0)
         m["fetched"] = int(cnt["fetched"] or 0)

@@ -223,6 +223,36 @@ def run_round(
 
     ok = gets.filter(~is_err)
 
+    # ---- login-session guard (F11 HTTP half, job.go:157-185) -------------
+    # After each OK page: first-node value of the check xpath must equal
+    # the expected value CASE-INSENSITIVELY, else the page ships as an
+    # error with an EMPTY url and status 1502 (NolongerLoggedIn,
+    # statuscodes.go:8) and contributes no links/callback; the driver
+    # cancels the job at the round boundary (the cancelChan analogue).
+    login_guard = bool(spec.login and spec.check_login_after_each_page
+                       and spec.login_success_check)
+    _login_caches = []
+    if login_guard:
+        from ideacrawler_spark.functions.extract import xpath_value_udf
+
+        lkey, lval = spec.login_success_check
+        ok = ok.withColumn(
+            "_logged_in",
+            F.lower(xpath_value_udf(lkey)(F.col("_html")))
+            == F.lit(str(lval).lower()),
+        ).persist()
+        _login_caches.append(ok)
+        logged_out = ok.filter(~F.col("_logged_in"))
+        shipped_err = shipped_err.unionByName(
+            logged_out.select(
+                F.col("fetch_seq"), F.lit("").alias("url"), F.col("depth"),
+                F.lit("").alias("anchor_text"), F.lit("").alias("meta"),
+                F.lit(1502).alias("status"), F.lit("").alias("text"),
+                F.lit(False).alias("success"), F.lit(rnd).alias("round"),
+            )
+        )
+        ok = ok.filter(F.col("_logged_in"))
+
     # ---- follow gate on the CURRENT page URL (job.go:188) ----------------
     follow = ok.filter(F.lit(not spec.no_follow))
     if spec.follow_url_regexp:
@@ -386,12 +416,18 @@ def run_round(
     enq_counts = enq.agg(
         F.count("*").alias("n_enq"), F.max("seq").alias("max_seq")
     )
-    metrics["counters"] = (
+    counters = (
         adm_counts.crossJoin(fetch_counts)
         .crossJoin(elig_counts)
         .crossJoin(new_counts)
         .crossJoin(enq_counts)
     )
+    if login_guard:
+        counters = counters.crossJoin(
+            logged_out.agg(F.count("*").alias("n_logged_out")))
+    else:
+        counters = counters.withColumn("n_logged_out", F.lit(0))
+    metrics["counters"] = counters
     result = RoundResult(
         shipped=shipped,
         frontier_next=carried.unionByName(enq),
@@ -406,5 +442,5 @@ def run_round(
     # across rounds (the seen-set grows; pinned copies starved execution
     # memory in long pytest sessions)
     result._cached = [allowed, fetched, resolved, eligible, new_firsts] \
-        + _rank_caches
+        + _rank_caches + _login_caches
     return result

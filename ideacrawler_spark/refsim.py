@@ -215,6 +215,7 @@ def simulate(
         admitted = admitted[:gb]
         frontier = carried
 
+        logged_out_trip = False
         m = dict(round=rnd, admitted=len(admitted), carried=len(carried),
                  fetched=0, deduped=0, robots_denied=0, shipped=0, errors=0,
                  retried=0)  # reference never retries (fetch.go:415-425)
@@ -260,6 +261,25 @@ def simulate(
                     m["shipped"] += 1
                 continue
             html = page["html"] if page else b""
+            # -- login-session guard (F11 HTTP half, job.go:157-185):
+            # case-insensitive first-node equality; mismatch ships an
+            # error page with EMPTY url + status 1502 and cancels the job
+            # at the round boundary (batch cancelChan analogue)
+            if spec.login and spec.check_login_after_each_page \
+                    and spec.login_success_check:
+                from ideacrawler_spark.functions.extract import (
+                    xpath_first_value,
+                )
+                lkey, lval = spec.login_success_check
+                if xpath_first_value(html, lkey).lower() != str(lval).lower():
+                    res.shipped.append(
+                        dict(fetch_seq=fetch_seq - 1, url="", depth=e.depth,
+                             anchor_text="", meta="", status=1502,
+                             text="", success=False, round=rnd))
+                    m["shipped"] += 1
+                    m["logged_out"] = m.get("logged_out", 0) + 1
+                    logged_out_trip = True
+                    continue
             # -- follow gate on the CURRENT page URL (job.go:188)
             if (
                 not spec.no_follow
@@ -337,6 +357,8 @@ def simulate(
                 m["shipped"] += 1
         res.metrics.append(m)
         rnd += 1
+        if logged_out_trip:
+            break  # cancelChan: the job stops after this round commits
         if not frontier and not any(r >= rnd for r in pushes_by_round):
             break
 

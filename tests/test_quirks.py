@@ -117,3 +117,30 @@ def test_xpath_attribute_callback(spark, web, web_dfs):
         if got["shipped"] is not None else []
     assert shipped == sorted(s["url"] for s in golden.shipped)
     assert "http://hosta.example/p/2" in shipped
+
+
+def test_login_session_guard(spark, web, web_dfs):
+    """F11 (HTTP half): CheckLoginAfterEachPage + LoginSuccessCheck — the
+    guard passes while the check xpath's first-node value matches
+    CASE-INSENSITIVELY; a mismatching page ships a status-1502 error row
+    with an EMPTY url, contributes no links, and cancels the job at the
+    round boundary (job.go:157-185, statuscodes.go:8)."""
+    spec = JobSpec(job_id="login", seed_url="http://hosta.example/p/0",
+                   login=True, check_login_after_each_page=True,
+                   login_success_check=("//title",
+                                        "HTTP://HOSTA.EXAMPLE/P/0"),
+                   min_delay_s=1, round_seconds=10, max_rounds=8)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_order_seen(golden, got)
+    shipped = sorted((r["url"], r["status"], r["success"])
+                     for r in got["shipped"].collect())
+    want = sorted((s["url"], s["status"], s["success"])
+                  for s in golden.shipped)
+    assert shipped == want
+    # round 0 passed the case-insensitive check and shipped normally
+    assert ("http://hosta.example/p/0", 200, True) in shipped
+    # round 1 pages carry different titles: 1502 rows with EMPTY url
+    trips = [s for s in shipped if s[1] == 1502]
+    assert trips and all(u == "" and not ok for u, _, ok in trips)
+    # cancelChan analogue: the job stopped right after the tripping round
+    assert got["rounds"] == golden.rounds == 2
