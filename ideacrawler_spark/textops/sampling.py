@@ -8,8 +8,11 @@ stratum — so the same row set is selected on every run, on Spark and on
 the DuckDB oracle, and joins/unions of samples stay consistent (a doc
 sampled into one mix is sampled identically into another).
 
-Everything is a map-side filter: no shuffle, fully pushdown-friendly,
-and rates compose as exact integer fractions (no float thresholds).
+Everything is a map-side filter: no shuffle anywhere, evaluated inside
+the scan's whole-stage-codegen pipeline (the md5-based predicate itself
+is not a parquet-pushable filter, but column pruning still reaches the
+scan and the sample never exchanges), and rates compose as exact
+integer fractions (no float thresholds).
 """
 
 from __future__ import annotations
@@ -36,8 +39,8 @@ def stratified_sample(
     (num, den) rate; strata absent from ``rates`` use ``default_rate``.
 
     The filter is a single map-side predicate (chained whens over the
-    small strata dict — broadcast-free), so Catalyst pushes it into the
-    scan; at 100 TB the sample never shuffles."""
+    small strata dict — broadcast-free); at 100 TB the sample never
+    shuffles."""
     num = F.lit(int(default_rate[0]))
     den = F.lit(int(default_rate[1]))
     for stratum, (n, d) in sorted(rates.items()):
