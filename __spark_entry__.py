@@ -690,6 +690,31 @@ _SAMPLE_RATE_SQL = """
 """.format(h=_h60_sql("CAST(doc_id AS VARCHAR)"))
 
 
+def q_repeated_lines(spark, sf_dir):
+    """C4-style corpus-level repeated-line removal over deterministic
+    4-word 'lines' derived from the documents text (the raw table is
+    space-separated words; the chunking rule is re-derived identically
+    by the oracle)."""
+    from ideacrawler_spark.textops.dedup import remove_repeated_lines
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(w) / F.lit(4)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 4 + 1, 4)),
+    )
+    chunked = docs.select(
+        "doc_id", F.concat_ws("\n", lines_arr).alias("text"))
+    return remove_repeated_lines(chunked, max_occurrences=1)
+
+
+def q_ngram_repetition(spark, sf_dir):
+    from ideacrawler_spark.textops.analysis import ngram_repetition
+
+    return ngram_repetition(_load(spark, sf_dir, "documents"), n=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -749,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_extract": q_xpath_extract,
         "dedup_components": q_dedup_components,
         "stratified_sample": q_stratified_sample,
+        "repeated_lines": q_repeated_lines,
+        "ngram_repetition": q_ngram_repetition,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1140,6 +1167,48 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE {_SAMPLE_RATE_SQL}
+        """,
+        "repeated_lines": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            chunk AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                       i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')
+                     ) AS lines
+              FROM w),
+            lines AS (
+              SELECT doc_id, CAST(pos AS INT) AS pos, lines[pos+1] AS line
+              FROM chunk, unnest(range(0, len(lines))) AS t(pos)),
+            counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN counts c USING (line) WHERE c.n <= 1),
+            tot AS (SELECT doc_id, count(*) AS n_lines
+                    FROM lines GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                     AS clean_text,
+                   count(k.line)::INT AS n_kept,
+                   (t.n_lines - count(k.line))::INT AS n_dropped
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id, t.n_lines
+        """,
+        "ngram_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+              FROM w, unnest(range(1, len(w))) AS t(i)
+              WHERE len(w) >= 2),
+            per AS (SELECT doc_id, gram, count(*) AS c
+                    FROM grams GROUP BY doc_id, gram)
+            SELECT d.doc_id,
+                   coalesce(max(p.c), 0)::INT AS top_count,
+                   coalesce(sum(p.c), 0)::INT AS n_grams
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            GROUP BY d.doc_id
         """,
         # Independent SQL recomputation of the deterministic synth-media
         # formulas (textops/multimodal.py synth_media): images are REAL

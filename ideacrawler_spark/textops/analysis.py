@@ -113,3 +113,44 @@ def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
         F.expr("bit_xor(sh)").alias("fp_xor"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def ngram_repetition(docs, n: int = 2, text_col: str = "text"):
+    """Intra-document repetition signal (the Gopher repetition rules'
+    building block): the count of the most-repeated word n-gram in each
+    doc and the total n-gram count — an exact integer fraction
+    (top_count / n_grams); high ratios flag template/spam pages.
+    Output: (doc_id, top_count, n_grams).
+
+    Pure explode → two partial-aggregated groupBys; the shuffle key is
+    (doc_id, gram) then doc_id — no skew beyond document size."""
+    from pyspark.sql import functions as F
+
+    w = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array()),
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("_c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.max("_c").cast("int").alias("top_count"),
+        F.sum("_c").cast("int").alias("n_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("top_count"), F.lit(0)).alias("top_count"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        )
+    )

@@ -273,3 +273,49 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
+                          max_occurrences: int = 1,
+                          sep: str = "\n") -> DataFrame:
+    """Corpus-level repeated-line removal — the C4/RefinedWeb boilerplate
+    rule: a line whose VERBATIM text occurs more than ``max_occurrences``
+    times across the whole corpus is dropped from every document; each
+    document is rebuilt from its surviving lines in original order.
+    Output: (doc_id, clean_text, n_kept, n_dropped).
+
+    Scale shape: one explode (doc, pos, line), one partial-aggregated
+    count by line, one equi-join back, one per-doc rebuild aggregation.
+    The join key is the line text; a pathological mega-line (the classic
+    cookie banner) puts all its copies in one partition — bounded by the
+    fact that each copy is ONE row (narrow payload), and the count side
+    is a single row per line. At 100 TB, join on a line hash and keep
+    the text only on the left to shrink shuffle payloads."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(F.count("*").alias("_n"))
+    kept = lines.join(counts, "line").filter(
+        F.col("_n") <= max_occurrences)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("_total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int").alias("n_dropped"),
+        )
+    )

@@ -302,3 +302,46 @@ def test_stratified_sample_exact_hash_rule(spark):
     }).collect()
     assert {r["doc_id"] for r in mix} == want
     assert {r["mix_source"] for r in mix} == {"web", "books"}
+
+
+def test_remove_repeated_lines_corpus_rule(spark):
+    """C4-style rule: a line occurring more than max_occurrences times
+    ACROSS THE CORPUS is dropped from every doc; docs rebuild in order."""
+    from ideacrawler_spark.textops.dedup import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep me\nSUBSCRIBE NOW\nunique zero"),
+            (1, "SUBSCRIBE NOW\nonly here"),
+            (2, "unique two\nSUBSCRIBE NOW\nkeep me too"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_lines(docs, max_occurrences=1).collect()}
+    # "SUBSCRIBE NOW" occurs 3x corpus-wide -> dropped everywhere
+    assert out[0]["clean_text"] == "keep me\nunique zero"
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "only here"
+    assert out[2]["clean_text"] == "unique two\nkeep me too"
+    # with max_occurrences=3 nothing is dropped
+    out3 = {r["doc_id"]: r for r in
+            remove_repeated_lines(docs, max_occurrences=3).collect()}
+    assert all(out3[i]["n_dropped"] == 0 for i in range(3))
+
+
+def test_ngram_repetition_counts(spark):
+    """Gopher-style repetition: exact top-2-gram count / total 2-grams."""
+    from ideacrawler_spark.textops.analysis import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),   # grams: 3x "spam spam"
+            (1, "a b c d"),               # 3 grams, all unique
+            (2, "x"),                     # too short: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["top_count"], r["n_grams"]) for r in
+           ngram_repetition(docs, n=2).collect()}
+    assert out == {0: (3, 3), 1: (1, 3), 2: (0, 0)}
