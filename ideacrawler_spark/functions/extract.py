@@ -240,13 +240,16 @@ def _build_tree(html: bytes | str) -> _MiniNode:
 
 _RX_XPATH_STEP = re.compile(
     r"^([A-Za-z][\w-]*|\*)"                      # tag or *
-    r"(?:\[@([\w-]+)=(['\"])(.*?)\3\])?$"        # optional [@attr='v']
+    r"(?:\[@([\w-]+)=(['\"])(.*?)\3\]|\[(\d+)\])?$"  # [@attr='v'] or [n]
 )
 
 
 def _parse_xpath(path: str):
-    """Location path → [(descendant_axis, tag, attr, value), ...] or None
-    if the expression is outside the supported subset."""
+    """Location path → [(descendant_axis, tag, attr, value, index), ...]
+    or None if the expression is outside the supported subset. ``index``
+    is the 1-based positional predicate ([n] — n-th matching node of the
+    step in document order, antchfx/XPath position semantics for the
+    child axis) or None."""
     if not path.startswith("/"):
         return None
     parts = path.split("/")
@@ -262,7 +265,11 @@ def _parse_xpath(path: str):
         m = _RX_XPATH_STEP.match(p)
         if m is None:
             return None
-        steps.append((descendant, m.group(1).lower(), m.group(2), m.group(4)))
+        pos = int(m.group(5)) if m.group(5) else None
+        if pos == 0:
+            return None  # XPath positions are 1-based
+        steps.append((descendant, m.group(1).lower(), m.group(2),
+                      m.group(4), pos))
         descendant = False
         idx += 1
     return steps or None
@@ -276,23 +283,33 @@ def _iter_descendants(node: _MiniNode):
 
 
 def _eval_xpath(root: _MiniNode, steps) -> list:
+    """Evaluate parsed steps. A positional predicate selects the n-th
+    MATCHING CHILD PER PARENT (standard XPath: ``//p[2]`` abbreviates
+    ``descendant-or-self::node()/child::p[position()=2]``); results are
+    returned in document order (pre-order over the tree)."""
     current = [root]
-    for descendant, tag, attr, val in steps:
-        nxt, seen = [], set()
+    for descendant, tag, attr, val, pos in steps:
+
+        def match(c):
+            if tag != "*" and c.tag != tag:
+                return False
+            if attr is not None and (c.attrs.get(attr) or "") != val:
+                return False
+            return True
+
+        selected = set()
         for n in current:
-            cands = _iter_descendants(n) if descendant else (
-                c for c in n.children if isinstance(c, _MiniNode))
-            for c in cands:
-                if tag != "*" and c.tag != tag:
-                    continue
-                if attr is not None and (c.attrs.get(attr) or "") != val:
-                    continue
-                if id(c) not in seen:
-                    seen.add(id(c))
-                    nxt.append(c)
-        if not nxt:
+            parents = [n] + (list(_iter_descendants(n)) if descendant else [])
+            for parent in parents:
+                kids = [c for c in parent.children
+                        if isinstance(c, _MiniNode) and match(c)]
+                if pos is None:
+                    selected.update(id(c) for c in kids)
+                elif len(kids) >= pos:
+                    selected.add(id(kids[pos - 1]))
+        if not selected:
             return []
-        current = nxt
+        current = [c for c in _iter_descendants(root) if id(c) in selected]
     return current
 
 

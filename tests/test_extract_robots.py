@@ -159,3 +159,22 @@ def test_xpath_subset_vectors():
     assert x(None, "//title") == ""
     # untrimmed string values (strings.TrimSpace is NOT applied)
     assert x(b"<p>  padded  </p>", "//p") == "  padded  "
+
+
+def test_xpath_positional_predicates():
+    """[n] selects the n-th matching child PER PARENT (standard XPath
+    position semantics), results in document order."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><body>"
+         b"<ul><li>one</li><li>two</li><li>three</li></ul>"
+         b"<ol><li>uno</li><li>dos</li></ol>"
+         b"<div><section><p>deep</p></section><p>shallow</p></div>"
+         b"</html>")
+    assert x(h, "//li[2]") == "two"          # first list's 2nd item wins
+    assert x(h, "//ol/li[2]") == "dos"
+    assert x(h, "//li[3]") == "three"
+    assert x(h, "//li[4]") == ""             # no parent has a 4th li
+    assert x(h, "/html/body/ul/li[1]") == "one"
+    assert x(h, "//p") == "deep"             # document order (pre-order)
+    assert x(h, "//li[0]") == ""             # XPath positions are 1-based
