@@ -715,6 +715,34 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(_load(spark, sf_dir, "documents"), n=2)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents text with deterministic synthetic PII
+    appended by doc_id class (the raw fixture text carries none) — the
+    oracle re-derives the same suffixes and applies identical RE2/Java-
+    safe patterns."""
+    from ideacrawler_spark.textops.pii import scrub_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit(" server 10.0."),
+                       (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".7 up")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" call +12125550"),
+                       (F.col("doc_id") % 100).cast("string"),
+                       F.lit(" today")))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return scrub_pii(seeded)
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -776,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repeated_lines": q_repeated_lines,
         "ngram_repetition": q_ngram_repetition,
+        "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1195,8 +1224,40 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
         """,
+        "pii_scrub": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+                       WHEN 1 THEN ' server 10.0.' || (doc_id % 256) || '.7 up'
+                       WHEN 2 THEN ' call +12125550' || (doc_id % 100) || ' today'
+                       ELSE '' END AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+                       AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM seeded),
+            i AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+                     regexp_replace(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t
+              FROM e)
+            SELECT doc_id,
+                   regexp_replace(t, '\+\d{7,15}', '<PHONE>', 'g') AS clean_text,
+                   n_emails, n_ips,
+                   len(regexp_extract_all(t, '\+\d{7,15}'))::INT AS n_phones
+            FROM i
+        """,
         "ngram_repetition": """
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+            WITH w AS (SELECT doc_id, string_split(text, ' ' ) AS w
                        FROM documents),
             grams AS (
               SELECT doc_id, w[i] || ' ' || w[i+1] AS gram

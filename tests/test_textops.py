@@ -345,3 +345,28 @@ def test_ngram_repetition_counts(spark):
     out = {r["doc_id"]: (r["top_count"], r["n_grams"]) for r in
            ngram_repetition(docs, n=2).collect()}
     assert out == {0: (3, 3), 1: (1, 3), 2: (0, 0)}
+
+
+def test_pii_scrub_patterns(spark):
+    """Email/IPv4/phone redaction with exact counts; email-local '+' is
+    consumed by the email pass before the phone pass can bite it."""
+    from ideacrawler_spark.textops.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-y.org and 10.0.3.7 and +4912345678 end"),
+            (1, "two mails p@q.io r@s.co, ip 1.2.3.4 ip 5.6.7.8"),
+            (2, "nothing sensitive here"),
+            (3, "version 1.2 is not an ip, +123 too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["clean_text"] == "mail <EMAIL> and <IP> and <PHONE> end"
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 1)
+    assert out[1]["clean_text"] == "two mails <EMAIL> <EMAIL>, ip <IP> ip <IP>"
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (2, 2)
+    assert out[2]["clean_text"] == "nothing sensitive here"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    # 1.2 is not an IPv4; +123 is under the 7-digit phone floor
+    assert out[3]["clean_text"] == "version 1.2 is not an ip, +123 too short"
