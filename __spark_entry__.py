@@ -715,6 +715,40 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(_load(spark, sf_dir, "documents"), n=2)
 
 
+def q_url_quality(spark, sf_dir):
+    """Frontier URL gating: suffix-blocklist verdict + integer spam
+    signals over four deterministic URL shapes derived from events."""
+    from ideacrawler_spark.operators.urlfilter import (
+        blocklist_filter, url_signals,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    k = (F.col("user_id") % 7).cast("string")
+    i = F.col("event_id").cast("string")
+    v = F.col("event_id") % 4
+    host = (
+        F.when(v == 0, F.concat(F.lit("host"), k, F.lit(".example")))
+        .when(v == 1, F.concat(F.lit("spam"), k, F.lit("42.example")))
+        .when(v == 2, F.concat(F.lit("ads.host"), k, F.lit(".example")))
+        .otherwise(F.concat(F.lit("host"), k, F.lit(".example")))
+    )
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, F.lit("/p/"), i))
+        .when(v == 1, F.concat(F.lit("http://"), host,
+                               F.lit("/p/a/b/c/"), i,
+                               F.lit("?x=1&y=2&z=3")))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit("/click/"), i,
+                               F.lit("?id="), i))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit("/p/"), i,
+                            F.lit("?ref=abc")))
+    )
+    fr = ev.select(F.col("event_id"), url.alias("url"), host.alias("host"))
+    out = blocklist_filter(fr, ["host5.example", "spam242.example"])
+    return url_signals(out).select(
+        "event_id", "url", "host", "blocked",
+        "n_host_digits", "path_depth", "n_params")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over documents text with deterministic synthetic PII
     appended by doc_id class (the raw fixture text carries none) — the
@@ -805,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_lines": q_repeated_lines,
         "ngram_repetition": q_ngram_repetition,
         "pii_scrub": q_pii_scrub,
+        "url_quality": q_url_quality,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1223,6 +1258,42 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_lines - count(k.line))::INT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
+        """,
+        "url_quality": r"""
+            WITH fr AS (
+              SELECT event_id,
+                     CASE CAST(event_id % 4 AS INT)
+                       WHEN 1 THEN 'spam' || (user_id % 7) || '42.example'
+                       WHEN 2 THEN 'ads.host' || (user_id % 7) || '.example'
+                       ELSE 'host' || (user_id % 7) || '.example' END AS host,
+                     CAST(event_id % 4 AS INT) AS v,
+                     user_id % 7 AS k
+              FROM events),
+            u AS (
+              SELECT event_id, host,
+                     CASE v
+                       WHEN 0 THEN 'http://' || host || '/p/' || event_id
+                       WHEN 1 THEN 'http://' || host || '/p/a/b/c/'
+                                   || event_id || '?x=1&y=2&z=3'
+                       WHEN 2 THEN 'http://' || host || '/click/'
+                                   || event_id || '?id=' || event_id
+                       ELSE 'http://' || host || '/p/' || event_id
+                            || '?ref=abc' END AS url
+              FROM fr)
+            SELECT event_id, url, host,
+                   (host = 'host5.example' OR host LIKE '%.host5.example'
+                    OR host = 'spam242.example'
+                    OR host LIKE '%.spam242.example') AS blocked,
+                   (len(host) - len(regexp_replace(host, '[0-9]', '', 'g')))::INT
+                     AS n_host_digits,
+                   (len(string_split(regexp_extract(url,
+                       '^[a-z]+://[^/]+(/[^?#]*)', 1), '/')) - 1)::INT
+                     AS path_depth,
+                   CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN 0
+                        ELSE len(string_split(
+                          regexp_extract(url, '\?([^#]*)', 1), '&')) END::INT
+                     AS n_params
+            FROM u
         """,
         "pii_scrub": r"""
             WITH seeded AS (

@@ -85,3 +85,31 @@ def test_order_key_packing_boundary(spark):
     deep = spark.createDataFrame([(1 << 23, 0)], "depth long, seq long")
     with pytest.raises(Exception, match="order_key packing overflow"):
         deep.select(order_key(F.col("depth"), F.col("seq")).alias("k")).collect()
+
+
+def test_blocklist_suffix_and_url_signals(spark):
+    """Suffix blocklist: blocking 'tracker.example' also blocks
+    'cdn.tracker.example' but NOT 'nottracker.example' (dot-boundary);
+    spam signals are exact integers."""
+    from ideacrawler_spark.operators.urlfilter import (
+        blocklist_filter, url_signals,
+    )
+
+    fr = spark.createDataFrame(
+        [
+            ("http://tracker.example/p/1", "tracker.example"),
+            ("http://cdn.tracker.example/x.js?a=1&b=2", "cdn.tracker.example"),
+            ("http://nottracker.example/p/2", "nottracker.example"),
+            ("http://h0st123.example/a/b/c/d?x=1", "h0st123.example"),
+        ],
+        "url string, host string",
+    )
+    out = {r["host"]: r for r in
+           url_signals(blocklist_filter(fr, ["tracker.example"])).collect()}
+    assert out["tracker.example"]["blocked"] is True
+    assert out["cdn.tracker.example"]["blocked"] is True
+    assert out["nottracker.example"]["blocked"] is False
+    r = out["h0st123.example"]
+    assert (r["n_host_digits"], r["path_depth"], r["n_params"]) == (4, 4, 1)
+    assert out["cdn.tracker.example"]["n_params"] == 2
+    assert out["tracker.example"]["n_params"] == 0
