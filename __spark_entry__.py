@@ -715,6 +715,13 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(_load(spark, sf_dir, "documents"), n=2)
 
 
+def q_source_stats(spark, sf_dir):
+    """Host/source-level curation aggregates (domain filtering input)."""
+    from ideacrawler_spark.textops.analysis import source_stats
+
+    return source_stats(_load(spark, sf_dir, "documents"))
+
+
 def q_url_quality(spark, sf_dir):
     """Frontier URL gating: suffix-blocklist verdict + integer spam
     signals over four deterministic URL shapes derived from events."""
@@ -840,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "pii_scrub": q_pii_scrub,
         "url_quality": q_url_quality,
+        "source_stats": q_source_stats,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1258,6 +1266,25 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_lines - count(k.line))::INT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
+        """,
+        "source_stats": """
+            WITH base AS (
+              SELECT source, count(*)::INT AS n_docs,
+                     sum(len(text))::BIGINT AS n_chars,
+                     sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                     count(DISTINCT lang)::INT AS n_langs
+              FROM documents GROUP BY source),
+            by_lang AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY source, lang),
+            top AS (
+              SELECT source, lang AS top_lang, n::INT AS top_lang_docs
+              FROM by_lang
+              QUALIFY row_number() OVER (PARTITION BY source
+                                         ORDER BY n DESC, lang) = 1)
+            SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_langs,
+                   t.top_lang, t.top_lang_docs
+            FROM base b JOIN top t USING (source)
         """,
         "url_quality": r"""
             WITH fr AS (

@@ -154,3 +154,32 @@ def ngram_repetition(docs, n: int = 2, text_col: str = "text"):
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
         )
     )
+
+
+def source_stats(docs, strata_col: str = "source"):
+    """Host/source-level curation stats (the RefinedWeb/CCNet move of
+    filtering DOMAINS, not just documents): per stratum, document count,
+    exact char/token totals, language spread, and the dominant language
+    (count-desc, then lexicographic — deterministic). One partial-
+    aggregated groupBy per stage; the stratum key is the shuffle key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = docs.groupBy(strata_col).agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+    )
+    by_lang = docs.groupBy(strata_col, "lang").agg(
+        F.count("*").alias("_n"))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("_n"), F.col("lang"))
+    top = (
+        by_lang.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(strata_col, F.col("lang").alias("top_lang"),
+                F.col("_n").cast("int").alias("top_lang_docs"))
+    )
+    return base.join(top, strata_col)

@@ -370,3 +370,25 @@ def test_pii_scrub_patterns(spark):
     assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
     # 1.2 is not an IPv4; +123 is under the 7-digit phone floor
     assert out[3]["clean_text"] == "version 1.2 is not an ip, +123 too short"
+
+
+def test_source_stats_dominant_lang_tiebreak(spark):
+    """Per-source aggregates with a deterministic dominant-language
+    tiebreak (count desc, then lexicographic)."""
+    from ideacrawler_spark.textops.analysis import source_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "s1"), (1, "c d e", "de", "s1"),
+            (2, "f", "de", "s1"),   (3, "g h", "en", "s1"),  # tie en/de → de
+            (4, "i j k l", "zh", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in source_stats(docs).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_langs"]) == (4, 2)
+    assert s1["n_tokens"] == 2 + 3 + 1 + 2
+    assert s1["n_chars"] == 3 + 5 + 1 + 3
+    assert (s1["top_lang"], s1["top_lang_docs"]) == ("de", 2)  # tie → 'de'
+    assert (out["s2"]["top_lang"], out["s2"]["n_docs"]) == ("zh", 1)
