@@ -458,6 +458,32 @@ def q_crawl_flagship(spark, sf_dir):
     )
 
 
+def q_crawl_gated(spark, sf_dir):
+    """Multi-round crawl with frontier URL gating active (VERDICT r03 #1:
+    host_blocklist + spam-signal JobSpec knobs applied at the eligibility
+    stage, plans/round.py). The oracle is the reference simulator's
+    shipped table under the SAME gated spec — the simulator implements
+    the gating semantics independently (refsim.py url_blocked)."""
+    from ideacrawler_spark.plans.crawl import CrawlEngine
+    from ideacrawler_spark.sources.fixtures import (
+        PAGES_SCHEMA,
+        ROBOTS_SCHEMA,
+        synth_web,
+    )
+
+    pages, robots, _, _ = synth_web(seed=42, scale=1)
+    eng = CrawlEngine(
+        spark, _gated_spec(),
+        spark.createDataFrame(pages, PAGES_SCHEMA),
+        spark.createDataFrame(robots, ROBOTS_SCHEMA),
+        shuffle_partitions=8,
+    )
+    out = eng.run()
+    return out["shipped"].orderBy("fetch_seq").select(
+        "fetch_seq", "url", "depth", "anchor_text", "meta", "status", "text"
+    )
+
+
 def q_warc_ingest(spark, sf_dir):
     """Common-Crawl-style WARC ingestion (sources/warc.py): the fixture
     web serialized to a WARC/1.0 archive and parsed back through the
@@ -787,7 +813,7 @@ def q_pii_scrub(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark)).select(
+    return extract_features(synth_media(spark, n_png=16)).select(
         "media_id", "kind", "n_bytes", "checksum",
         "dec_width", "dec_height", "dec_duration_ms", "dec_nsamples",
     )
@@ -838,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
         "crawl_flagship": q_crawl_flagship,
+        "crawl_gated": q_crawl_gated,
         "warc_ingest": q_warc_ingest,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
@@ -1200,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         # counts) rendered as a VALUES literal. The Spark engine must land
         # on the exact same rows after its distributed round loop.
         "crawl_flagship": _flagship_oracle_sql(),
+        "crawl_gated": _gated_oracle_sql(),
         "warc_ingest": _warc_oracle_sql(),
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),
@@ -1434,6 +1462,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM img_out
             UNION ALL SELECT * FROM aud_out
             UNION ALL SELECT * FROM vid_out
+            UNION ALL
+            -- media 64..79 are REAL 8-bit RGB PNGs serialized with
+            -- stored (uncompressed) zlib blocks and zeroed CRCs, so the
+            -- whole file — adler32 trailer included — is re-derived here
+            -- arithmetically while decode_png inflates actual bytes.
+            SELECT media_id, kind, n_bytes, checksum,
+                   dec_width, dec_height, dec_duration_ms, dec_nsamples
+            FROM (
+              WITH png AS (
+                SELECT i, (3 + i % 4)::BIGINT AS w, (2 + i % 3)::BIGINT AS h
+                FROM range(64, 80) t(i)),
+              png_bytes AS (
+                -- the IDAT scanline stream: per row a 0 filter byte then
+                -- w RGB pixels, value (i*5 + x*7 + y*3 + c*13) % 256
+                SELECT i, w, h, h * (1 + 3 * w) AS rawlen,
+                  flatten(list_transform(range(0, h), y ->
+                    [0::BIGINT] || flatten(list_transform(range(0, w), x ->
+                      list_transform(range(0, 3), c ->
+                        (i*5 + x*7 + y*3 + c*13) % 256))))) AS d
+                FROM png),
+              png_adler AS (
+                SELECT i, w, h, rawlen, d,
+                  (1 + list_sum(d)) % 65521 AS a_,
+                  (rawlen + list_sum(list_transform(range(0, rawlen), j ->
+                      (rawlen - j) * d[j+1]))) % 65521 AS b_
+                FROM png_bytes)
+              SELECT i::BIGINT AS media_id, 'image' AS kind,
+                -- 8 sig + 25 IHDR chunk + (12 + rawlen + 11) IDAT + 12 IEND
+                (68 + rawlen)::INT AS n_bytes,
+                -- 1953 = sig(425) + IHDR len/type/fixed-fields(318)
+                --      + IDAT type(290) + zlib hdr(121)
+                --      + stored-block hdr(511: 1 + LEN/NLEN complements)
+                --      + IEND(288); CRCs are zeroed by construction
+                (1953 + w + h
+                 + (rawlen + 11) % 256 + (rawlen + 11) // 256
+                 + list_sum(d)
+                 + a_ % 256 + a_ // 256 + b_ % 256 + b_ // 256
+                )::BIGINT AS checksum,
+                w::INT AS dec_width, h::INT AS dec_height,
+                NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
+              FROM png_adler)
         """,
     }
 
@@ -1445,8 +1514,17 @@ def _flagship_spec():
                    min_delay_s=1, round_seconds=30, max_concurrent=50)
 
 
-def _flagship_oracle_sql() -> str:
-    """Expected shipped table of the flagship crawl as a VALUES literal,
+def _gated_spec():
+    from ideacrawler_spark.config import JobSpec
+
+    return JobSpec(job_id="gated", seed_url="http://hosta.example/p/0",
+                   follow_other_domains=True, depth=3, min_delay_s=1,
+                   round_seconds=30, max_concurrent=50, max_rounds=10,
+                   host_blocklist=("hostb.example",), max_query_params=0)
+
+
+def _sim_shipped_oracle_sql(spec, with_pushes: bool) -> str:
+    """Expected shipped table of a fixture-web crawl as a VALUES literal,
     generated by the reference simulator (ideacrawler_spark/refsim.py) on
     the same deterministic fixture web. refsim is the executable spec of
     the Go reference (cited per rule there) and is itself pytest-anchored
@@ -1455,7 +1533,7 @@ def _flagship_oracle_sql() -> str:
     from ideacrawler_spark.sources.fixtures import synth_web
 
     pages, robots, seeds, pushes = synth_web(seed=42, scale=1)
-    golden = simulate(_flagship_spec(), pages, robots, pushes)
+    golden = simulate(spec, pages, robots, pushes if with_pushes else None)
 
     def q(s: str) -> str:
         return "'" + str(s).replace("'", "''") + "'"
@@ -1470,6 +1548,18 @@ def _flagship_oracle_sql() -> str:
         "SELECT * FROM (VALUES " + rows + ") AS t("
         "fetch_seq, url, depth, anchor_text, meta, status, text)"
     )
+
+
+def _flagship_oracle_sql() -> str:
+    return _sim_shipped_oracle_sql(_flagship_spec(), with_pushes=True)
+
+
+def _gated_oracle_sql() -> str:
+    """Shipped table of the URL-gated crawl (host_blocklist +
+    max_query_params JobSpec knobs): the simulator implements the gating
+    semantics independently (refsim.py url_blocked), so the oracle checks
+    the engine's gated admission path end-to-end."""
+    return _sim_shipped_oracle_sql(_gated_spec(), with_pushes=False)
 
 
 def _warc_oracle_sql() -> str:

@@ -57,9 +57,28 @@ class JobSpec:
     # Engine-only: hard cap on rounds (safety valve for cyclic graphs with
     # depth=-1; the reference would crawl forever too).
     max_rounds: int = 64
+    # Engine-only frontier URL gating (beyond the reference): junk links
+    # are dropped at the eligibility stage (operators/urlfilter.py) so a
+    # 10^10-URL crawl spends zero seen-set space or politeness budget on
+    # them. ``host_blocklist`` blocks hosts by dot-suffix ("tracker.example"
+    # also blocks "cdn.tracker.example"); the three thresholds drop URLs
+    # whose spam signal EXCEEDS the limit (None = signal off).
+    host_blocklist: tuple = ()
+    max_host_digits: Optional[int] = None
+    max_path_depth: Optional[int] = None
+    max_query_params: Optional[int] = None
+
+    @property
+    def url_gating(self) -> bool:
+        return bool(self.host_blocklist) or any(
+            v is not None for v in (self.max_host_digits,
+                                    self.max_path_depth,
+                                    self.max_query_params))
 
     def to_dict(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        d["host_blocklist"] = list(self.host_blocklist or ())
+        return d
 
     # -- deterministic politeness budget math (shared by the Spark engine
     #    and the pure-Python reference simulator so goldens line up) ------

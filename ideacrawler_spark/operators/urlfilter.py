@@ -6,11 +6,18 @@ gate admission on (a) a domain blocklist with SUFFIX semantics (blocking
 cheap per-URL spam signals (digit-heavy hosts, deep paths, parameter
 explosions). Both are implemented scale-first:
 
-- ``blocklist_filter``: the host explodes into its dot-suffixes
-  (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and equi-joins a BROADCAST
-  blocklist dim — the standard shape for suffix matching at scale (one
-  map-side explode bounded by label count, no shuffle of the frontier).
+- ``blocklist_filter``: distinct HOSTS (not URLs) explode into their
+  dot-suffixes (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and equi-join the
+  BROADCAST blocklist dim; the resulting blocked-host set joins back to
+  the frontier BY HOST KEY with no broadcast hint (VERDICT r03 #5: only
+  the true dim — the input blocklist — is assumed broadcast-small; a
+  pathological frontier where most hosts are blocked degrades to a
+  sort-merge join instead of overflowing a forced broadcast, and AQE
+  still broadcasts at runtime when the set really is small). The
+  host-keyed join co-partitions with the admission shuffle.
 - ``url_signals``: pure map-side regexp projections (no shuffle).
+- ``apply_url_gating``: the two composed behind JobSpec knobs — the
+  CrawlEngine admission hook.
 
 All outputs are integers/booleans/strings so the DuckDB oracle can
 re-derive them with the same RE2/Java-safe expressions.
@@ -35,18 +42,27 @@ def host_suffixes(host_col):
 def blocklist_filter(df: DataFrame, blocklist: list,
                      host_col: str = "host") -> DataFrame:
     """Adds a ``blocked`` boolean: true iff any dot-suffix of the host is
-    on the blocklist. The blocklist joins broadcast; the frontier never
-    shuffles."""
+    on the blocklist.
+
+    Only the input blocklist carries a broadcast hint (it is a true dim).
+    The blocked-host set is frontier-derived and joins back keyed on
+    host — never force-broadcast (its size is data-dependent); Catalyst/
+    AQE broadcast it when stats allow, else it sort-merges, co-partitioned
+    with the admission shuffle's host key."""
     spark = df.sparkSession
     bl = spark.createDataFrame([(b,) for b in blocklist], "_bl_domain string")
-    suf = df.withColumn("_suf", F.explode(host_suffixes(F.col(host_col))))
+    hosts = df.select(F.col(host_col).alias("_bl_host")).distinct()
     hits = (
-        suf.join(F.broadcast(bl), suf["_suf"] == bl["_bl_domain"])
-        .select(F.col(host_col).alias("_bl_host")).distinct()
+        hosts.withColumn("_suf", F.explode(host_suffixes(F.col("_bl_host"))))
+        .join(F.broadcast(bl), F.col("_suf") == F.col("_bl_domain"))
+        .select("_bl_host").distinct()
+        .withColumn("_bl_hit", F.lit(True))
     )
-    return df.join(
-        F.broadcast(hits), df[host_col] == hits["_bl_host"], "left"
-    ).withColumn("blocked", F.col("_bl_host").isNotNull()).drop("_bl_host")
+    return (
+        df.join(hits, df[host_col] == hits["_bl_host"], "left")
+        .withColumn("blocked", F.coalesce(F.col("_bl_hit"), F.lit(False)))
+        .drop("_bl_host", "_bl_hit")
+    )
 
 
 def url_signals(df: DataFrame, url_col: str = "url",
@@ -67,3 +83,34 @@ def url_signals(df: DataFrame, url_col: str = "url",
         .withColumn("path_depth", path_depth)
         .withColumn("n_params", n_params)
     )
+
+
+def apply_url_gating(df: DataFrame, spec, url_col: str = "url_norm",
+                     host_col: str = "host") -> DataFrame:
+    """Adds ``_url_blocked`` per the JobSpec gating knobs (config.py):
+    suffix blocklist OR any spam signal above its threshold. The caller
+    filters/counts; columns added here are internal and dropped by
+    ``drop_gating_cols``."""
+    out = df
+    if spec.host_blocklist:
+        out = blocklist_filter(out, list(spec.host_blocklist),
+                               host_col=host_col)
+    else:
+        out = out.withColumn("blocked", F.lit(False))
+    out = url_signals(out, url_col=url_col, host_col=host_col)
+    bad = F.col("blocked")
+    if spec.max_host_digits is not None:
+        bad = bad | (F.col("n_host_digits") > F.lit(int(spec.max_host_digits)))
+    if spec.max_path_depth is not None:
+        bad = bad | (F.col("path_depth") > F.lit(int(spec.max_path_depth)))
+    if spec.max_query_params is not None:
+        bad = bad | (F.col("n_params") > F.lit(int(spec.max_query_params)))
+    return out.withColumn("_url_blocked", bad)
+
+
+GATING_COLS = ("blocked", "n_host_digits", "path_depth", "n_params",
+               "_url_blocked")
+
+
+def drop_gating_cols(df: DataFrame) -> DataFrame:
+    return df.drop(*GATING_COLS)

@@ -18,6 +18,7 @@ restarts from it — frontier offsets + seen-set + counters included.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 from urllib.parse import urlsplit
 
@@ -74,6 +75,11 @@ class CrawlEngine:
         # partial top-k instead of full window sorts (admission.py)
         self._host_budget_max = self._max_host_budget()
         self.pushes = sorted(pushes or [], key=lambda p: (int(p.get("round", 0)), int(p.get("seq", 0))))
+        self._push_lock = threading.Lock()  # add_pushes vs injection
+        # injection CONSUMES self.pushes; this log records every push that
+        # actually entered the frontier, stamped with its effective round,
+        # so a streaming run can be replayed as a batch job
+        self.pushes_log: List[dict] = []
         self.ckpt = checkpoint_dir
         # all round-state durability goes through the catalog seam
         # (plans/catalog.py): parquet+manifest here, Iceberg in production
@@ -216,18 +222,28 @@ class CrawlEngine:
             self.bloom_dir = init_dir
 
     def _inject_pushes(self, rnd: int):
-        ps = [p for p in self.pushes if int(p.get("round", 0)) == rnd]
+        """Move every pending push with round <= rnd into the frontier.
+
+        Injection CONSUMES entries from ``self.pushes`` (ADVICE r03: a
+        push arriving while round ``rnd`` is executing is stamped ``rnd``
+        but ``rnd``'s injection already ran — with exact ``==`` matching
+        it was silently lost; ``<=`` + consumption injects it at the next
+        round boundary instead, the AddPages contract)."""
+        with self._push_lock:
+            snapshot = list(self.pushes)
+        ps = [p for p in snapshot if int(p.get("round", 0)) <= rnd]
         if not ps:
             return
+        rest = [p for p in snapshot if int(p.get("round", 0)) > rnd]
         rows = []
+        dropped_stream = False
         for p in ps:
             pnorm = canonicalize(p["url"])
             if pnorm is None:
                 # newCrawlCommand's url.Parse error RETURNS out of the
                 # push-handling goroutine (job.go:700-704): the bad push
                 # AND every later push are dropped.
-                self.pushes = [q for q in self.pushes if q["round"] < rnd] + \
-                    [q for q in ps[: ps.index(p)]]
+                dropped_stream = True
                 break
             rows.append(
                 dict(
@@ -239,14 +255,25 @@ class CrawlEngine:
                     no_callback=bool(p.get("no_callback", False)),
                 )
             )
+            self.pushes_log.append(dict(p, round=rnd))
             self.seq_offset += 1
+        with self._push_lock:
+            # add_pushes only appends, so anything past the snapshot is a
+            # new arrival and survives (even when a bad URL drops the
+            # snapshot's stream — the new arrival is a later AddPages call)
+            arrivals = self.pushes[len(snapshot):]
+            self.pushes = ([] if dropped_stream else rest) + arrivals
         self.frontier = self.frontier.unionByName(
             self.spark.createDataFrame(rows, _frontier_schema())
         )
         self._frontier_count += len(rows)
 
     def _has_future_pushes(self, rnd: int) -> bool:
-        return any(int(p.get("round", 0)) >= rnd for p in self.pushes)
+        # injection consumes entries, so ANY remaining push keeps the
+        # drain loop alive (a mid-round push carries an already-passed
+        # round stamp yet must still be injected at the next boundary)
+        del rnd
+        return bool(self.pushes)
 
     # ------------------------------------------------------------------
     def _materialize(self, df: DataFrame, table: str, rnd: int) -> DataFrame:
@@ -310,6 +337,13 @@ class CrawlEngine:
         for _ in range(self.round):
             self.spec.realized_global_budget(self._sampler)
         self._frontier_count = self.frontier.count()  # one job, resume only
+        # pushes for committed rounds were injected in the original run
+        # (their frontier effects are in the checkpoint); only later-round
+        # pushes remain injectable — without this, the <=-match in
+        # _inject_pushes would re-inject them after resume
+        with self._push_lock:
+            self.pushes = [p for p in self.pushes
+                           if int(p.get("round", 0)) > r]
         return True
 
     def _update_shards_fn(self):
@@ -335,7 +369,7 @@ class CrawlEngine:
         if n_pending == 0:
             # idle round: only future pushes remain (refsim does the same)
             self.metrics.append(dict(round=rnd, admitted=0, carried=0,
-                                     fetched=0, deduped=0,
+                                     fetched=0, deduped=0, url_blocked=0,
                                      robots_denied=0, errors=0))
             self.round += 1
             return 0
@@ -410,6 +444,7 @@ class CrawlEngine:
             # committed rounds stay visible (cancel() semantics)
             self._cancelled = True
         m["admitted"] = int(cnt["admitted"] or 0)
+        m["url_blocked"] = int(cnt["n_url_blocked"] or 0)
         m["robots_denied"] = int(cnt["robots_denied"] or 0)
         m["fetched"] = int(cnt["fetched"] or 0)
         m["errors"] = int(cnt["errors"] or 0)
@@ -516,12 +551,16 @@ class CrawlEngine:
                 )
 
     def add_pushes(self, rows: List[dict]):
-        """Streaming entry: enqueue client pushes for the CURRENT round
-        (AddPages, worker.go:219-269). Call before step()/drain()."""
-        for p in rows:
-            p = dict(p)
-            p["round"] = self.round
-            self.pushes.append(p)
+        """Streaming entry: enqueue client pushes (AddPages,
+        worker.go:219-269). Safe to call from another thread while the
+        crawl loop runs: a push arriving mid-round is injected at the
+        next round boundary (injection matches round <= current and
+        consumes the queue, so no stamp can be skipped)."""
+        with self._push_lock:
+            for p in rows:
+                p = dict(p)
+                p["round"] = self.round
+                self.pushes.append(p)
 
     def run(self, resume: bool = False) -> dict:
         """Crawl to fixpoint. Returns dict of result DataFrames."""

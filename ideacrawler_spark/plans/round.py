@@ -302,7 +302,31 @@ def run_round(
         F.col("url_norm").rlike(spec.follow_url_regexp)
         if spec.follow_url_regexp else F.lit(True)
     )
-    eligible = resolved.filter(req_match | follow_match).persist()
+    eligible_all = resolved.filter(req_match | follow_match)
+
+    # ---- frontier URL gating (engine extension, not in the reference):
+    #      suffix-blocklisted hosts and spam-signal URLs are dropped HERE,
+    #      after eligibility but before the seen-set — they never consume
+    #      seen-set space, checkpoint IO, or politeness budget, and the
+    #      drop count rides the round's single counters action.
+    _gate_caches: list = []
+    if spec.url_gating:
+        from ideacrawler_spark.operators.urlfilter import (
+            apply_url_gating, drop_gating_cols,
+        )
+
+        gated = apply_url_gating(
+            eligible_all, spec, url_col="url_norm", host_col="host",
+        ).persist()
+        _gate_caches.append(gated)
+        block_counts = gated.agg(
+            F.sum(F.when(F.col("_url_blocked"), 1).otherwise(0))
+            .alias("n_url_blocked"))
+        eligible = drop_gating_cols(
+            gated.filter(~F.col("_url_blocked"))).persist()
+    else:
+        block_counts = None
+        eligible = eligible_all.persist()
     elig_counts = eligible.agg(F.count("*").alias("n_eligible"))
 
     # ---- dedup: in-round first occurrence, then anti-join the seen table.
@@ -427,6 +451,10 @@ def run_round(
             logged_out.agg(F.count("*").alias("n_logged_out")))
     else:
         counters = counters.withColumn("n_logged_out", F.lit(0))
+    if block_counts is not None:
+        counters = counters.crossJoin(block_counts)
+    else:
+        counters = counters.withColumn("n_url_blocked", F.lit(0))
     metrics["counters"] = counters
     result = RoundResult(
         shipped=shipped,
@@ -442,5 +470,5 @@ def run_round(
     # across rounds (the seen-set grows; pinned copies starved execution
     # memory in long pytest sessions)
     result._cached = [allowed, fetched, resolved, eligible, new_firsts] \
-        + _rank_caches + _login_caches
+        + _rank_caches + _login_caches + _gate_caches
     return result

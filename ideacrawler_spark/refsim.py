@@ -143,6 +143,37 @@ def simulate(
     cb_url_re = _compile(spec.callback_url_regexp)
     cb_anchor_re = _compile(spec.callback_anchor_regexp)
 
+    # -- frontier URL gating (ENGINE EXTENSION, config.py JobSpec knobs;
+    # not in the Go reference). Independent re-implementation of the
+    # urlfilter.py SQL semantics so engine and simulator cross-check:
+    # suffix blocklist on the lowercase host; [0-9]-count of the host;
+    # path depth = '/' count of regexp ^[a-z]+://[^/]+(/[^?#]*);
+    # param count = '&' count + 1 of the ?([^#]*) capture (0 if empty).
+    blockset = set(spec.host_blocklist or ())
+
+    def url_blocked(nurl: str) -> bool:
+        if not spec.url_gating:
+            return False
+        host = (urlsplit(nurl).hostname or "").lower()
+        if blockset:
+            parts = host.split(".")
+            if any(".".join(parts[i:]) in blockset
+                   for i in range(len(parts))):
+                return True
+        if spec.max_host_digits is not None and \
+                len(re.findall(r"[0-9]", host)) > spec.max_host_digits:
+            return True
+        if spec.max_path_depth is not None:
+            mm = re.match(r"^[a-z]+://[^/]+(/[^?#]*)", nurl)
+            if (mm.group(1).count("/") if mm else 0) > spec.max_path_depth:
+                return True
+        if spec.max_query_params is not None:
+            mq = re.search(r"\?([^#]*)", nurl)
+            q = mq.group(1) if mq else ""
+            if (0 if q == "" else q.count("&") + 1) > spec.max_query_params:
+                return True
+        return False
+
     seen: Dict[str, bool] = {}
     res = SimResult()
     frontier: List[FrontierEntry] = []
@@ -217,7 +248,8 @@ def simulate(
 
         logged_out_trip = False
         m = dict(round=rnd, admitted=len(admitted), carried=len(carried),
-                 fetched=0, deduped=0, robots_denied=0, shipped=0, errors=0,
+                 fetched=0, deduped=0, url_blocked=0, robots_denied=0,
+                 shipped=0, errors=0,
                  retried=0)  # reference never retries (fetch.go:415-425)
 
         for e in admitted:
@@ -308,6 +340,11 @@ def simulate(
                         follow_re is not None and not follow_re.search(nurl)
                     )
                     if not req_match and not follow_match:
+                        continue
+                    # frontier URL gating (engine extension): dropped
+                    # BEFORE the seen-set — blocked URLs consume nothing
+                    if url_blocked(nurl):
+                        m["url_blocked"] += 1
                         continue
                     if nurl in seen:
                         m["deduped"] += 1

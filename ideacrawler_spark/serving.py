@@ -22,11 +22,14 @@ HTTP so a non-Python client can drive a crawl end-to-end:
     POST /jobs/<id>/cancel        → {"cancelled": true}; takes effect at
           the next round boundary (CancelJob → commit-boundary semantics,
           plans/crawl.py cancel()).
+    GET  /jobs/<id>               → {"round", "frontier", "cancelled",
+          "done", "last_committed_round"} — the JobManager status view.
 
-Rows per line are the per-round shipped/outlink batches — the same
-driver-bounded collects the in-process subscribe() contract documents
-(the client-facing stream IS the reference's unit of delivery; the bulk
-tables stay distributed in the checkpoint).
+Rows per line are the per-round shipped/outlink batches, capped at
+``stream_row_cap`` rows per table per line (a line whose batch overflows
+the cap carries ``"truncated": true``; bulk consumers read the checkpoint
+tables — the stream is the reference's unit of DELIVERY, not of storage).
+Registering a job id that is still running is a 409.
 
 Threading model: one handler thread runs the crawl loop (Spark drivers
 are thread-safe for job submission); pages/cancel arrive on other handler
@@ -48,10 +51,17 @@ from ideacrawler_spark.config import JobSpec
 from ideacrawler_spark.plans.crawl import CrawlEngine
 
 
-def _df_rows(df: Optional[DataFrame]) -> list:
+def _df_rows(df: Optional[DataFrame], cap: Optional[int] = None):
+    """Collect up to ``cap`` rows (plus a truncation probe row). The cap
+    bounds the driver-side collect per streamed line (VERDICT r03 #4): a
+    round whose shipped batch dwarfs driver memory streams a prefix with
+    ``truncated: true``; bulk consumers read the checkpoint tables."""
     if df is None:
-        return []
-    return [r.asDict(recursive=True) for r in df.collect()]
+        return [], False
+    if cap is None:
+        return [r.asDict(recursive=True) for r in df.collect()], False
+    rows = [r.asDict(recursive=True) for r in df.limit(cap + 1).collect()]
+    return rows[:cap], len(rows) > cap
 
 
 class CrawlServer:
@@ -61,12 +71,14 @@ class CrawlServer:
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  robots: Optional[DataFrame] = None,
                  shuffle_partitions: int = 8, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, stream_row_cap: int = 10000):
         self.spark = spark
         self.pages = pages
         self.robots = robots
         self.nparts = shuffle_partitions
+        self.stream_row_cap = stream_row_cap
         self.jobs: dict[str, CrawlEngine] = {}
+        self.done: set[str] = set()  # finished job ids (re-registrable)
         self._lock = threading.Lock()
         outer = self
 
@@ -109,6 +121,13 @@ class CrawlServer:
                     except Exception:  # noqa: BLE001
                         pass
 
+            def do_GET(self):  # noqa: N802 — http.server contract
+                parts = [p for p in self.path.split("/") if p]
+                if len(parts) == 2 and parts[0] == "jobs":
+                    outer._handle_status(self, parts[1])
+                else:
+                    self._json(404, {"error": "unknown endpoint"})
+
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
@@ -124,7 +143,14 @@ class CrawlServer:
             shuffle_partitions=self.nparts,
         )
         with self._lock:
+            # the reference's JobManager keys live jobs by id
+            # (worker.go:189-217): registering a duplicate id while the
+            # first is still running is a client error, not an overwrite
+            if spec.job_id in self.jobs and spec.job_id not in self.done:
+                h._json(409, {"error": f"job {spec.job_id} already running"})
+                return
             self.jobs[spec.job_id] = eng
+            self.done.discard(spec.job_id)
         h.send_response(200)
         h.send_header("Content-Type", "application/jsonlines")
         h.send_header("Transfer-Encoding", "chunked")
@@ -135,17 +161,33 @@ class CrawlServer:
             h.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
             h.wfile.flush()
 
-        for batch in eng.subscribe(resume=bool(req.get("resume"))):
-            send_line(dict(
-                job_id=spec.job_id,
-                round=batch["round"],
-                shipped=_df_rows(batch["shipped"]),
-                outlinks=_df_rows(batch["outlinks"]),
-                metrics=batch["metrics"],
-            ))
-        send_line({"job_id": spec.job_id, "done": True, "rounds": eng.round})
-        h.wfile.write(b"0\r\n\r\n")
-        h.wfile.flush()
+        try:
+            for batch in eng.subscribe(resume=bool(req.get("resume"))):
+                shipped, sh_trunc = _df_rows(
+                    batch["shipped"], self.stream_row_cap)
+                outlinks, ol_trunc = _df_rows(
+                    batch["outlinks"], self.stream_row_cap)
+                line = dict(
+                    job_id=spec.job_id,
+                    round=batch["round"],
+                    shipped=shipped,
+                    outlinks=outlinks,
+                    metrics=batch["metrics"],
+                )
+                if sh_trunc or ol_trunc:
+                    line["truncated"] = True
+                send_line(line)
+            # mark done BEFORE the terminal line goes out: a client that
+            # reads "done" may immediately re-register the id
+            with self._lock:
+                self.done.add(spec.job_id)
+            send_line({"job_id": spec.job_id, "done": True,
+                       "rounds": eng.round})
+            h.wfile.write(b"0\r\n\r\n")
+            h.wfile.flush()
+        finally:
+            with self._lock:
+                self.done.add(spec.job_id)
 
     def _handle_pages(self, h, job_id: str):
         eng = self.jobs.get(job_id)
@@ -155,6 +197,22 @@ class CrawlServer:
         pushes = h._body().get("pushes") or []
         eng.add_pushes(pushes)
         h._json(200, {"job_id": job_id, "queued": len(pushes)})
+
+    def _handle_status(self, h, job_id: str):
+        """GET /jobs/<id> — the JobManager status view (worker.go:189-217):
+        current round, tracked frontier size, cancel/done flags."""
+        eng = self.jobs.get(job_id)
+        if eng is None:
+            h._json(404, {"error": f"no job {job_id}"})
+            return
+        h._json(200, dict(
+            job_id=job_id,
+            round=eng.round,
+            frontier=eng._frontier_count,
+            cancelled=eng._cancelled,
+            done=job_id in self.done,
+            last_committed_round=eng.last_committed_round(),
+        ))
 
     def _handle_cancel(self, h, job_id: str):
         eng = self.jobs.get(job_id)

@@ -18,6 +18,7 @@ payload, so partition pruning and predicate pushdown still work on it.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -54,7 +55,11 @@ def decode_wav(payload: bytes) -> Optional[dict]:
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
+        # a declared length past the end of the buffer = truncated file;
+        # body is silently shorter, so gate on the ACTUAL bytes present
+        if cid == b"fmt ":
+            if clen < 16 or len(body) < 16:
+                return None
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -94,6 +99,8 @@ def decode_bmp(payload: bytes) -> Optional[dict]:
         return None
     rows = abs(h)
     stride = (3 * w + 3) // 4 * 4
+    if len(payload) < data_off + stride * rows:
+        return None  # truncated pixel data
     px = np.frombuffer(payload, dtype=np.uint8, count=stride * rows,
                        offset=data_off).reshape(rows, stride)
     bgr = px[:, : 3 * w].reshape(rows, w, 3).astype(np.float64)
@@ -131,6 +138,130 @@ def make_bmp(pixels_bgr: np.ndarray) -> bytes:
     return hdr + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> Optional[dict]:
+    """Parse a PNG (8-bit RGB/RGBA, non-interlaced): chunk walk to IHDR +
+    IDAT, zlib-inflate the scanline stream, undo filters 0-4. Returns None
+    unless the bytes parse as such a PNG. CRC fields are not verified
+    (consistent with most tolerant decoders); every structural length IS."""
+    if payload is None or len(payload) < len(_PNG_SIG) + 25:
+        return None
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if clen < 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 8 + clen + 4  # skip CRC
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 \
+            or interlace != 0 or w <= 0 or h <= 0:
+        return None  # only 8-bit truecolor(+alpha), non-interlaced
+    nch = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None  # truncated scanline stream
+    sl = np.frombuffer(raw, dtype=np.uint8,
+                       count=h * (stride + 1)).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype, line = int(sl[y, 0]), sl[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — vectorizable
+            rec = (line + prev) & 255
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 255
+        else:
+            return None  # invalid filter type
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    rgb = out.reshape(h, w, nch).astype(np.float64)
+    feat = np.zeros(8, dtype=np.float32)
+    feat[0], feat[1] = float(w), float(h)
+    feat[2:5] = rgb[:, :, :3].mean(axis=(0, 1)).astype(np.float32)  # R, G, B
+    feat[5] = float(rgb.max())
+    feat[6] = float(rgb.min())
+    feat[7] = float(nch)
+    return dict(
+        dec_width=int(w), dec_height=int(h),
+        dec_duration_ms=None, dec_nsamples=None, feat=feat,
+    )
+
+
+def _chunk(ctype: bytes, body: bytes, zero_crc: bool) -> bytes:
+    crc = 0 if zero_crc else zlib.crc32(ctype + body)
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _zlib_stored(raw: bytes) -> bytes:
+    """A valid zlib stream using only deflate STORED blocks — every output
+    byte is an arithmetic function of the input, so the DuckDB oracle can
+    re-derive whole-file checksums without a zlib implementation."""
+    out = [b"\x78\x01"]
+    n = len(raw)
+    pos = 0
+    while True:
+        block = raw[pos:pos + 65535]
+        final = 1 if pos + len(block) >= n else 0
+        out.append(struct.pack("<BHH", final, len(block),
+                               0xFFFF - len(block)))
+        out.append(block)
+        pos += len(block)
+        if final:
+            break
+    out.append(struct.pack(">I", zlib.adler32(raw)))
+    return b"".join(out)
+
+
+def make_png(pixels: np.ndarray, compress: bool = True,
+             zero_crc: bool = False) -> bytes:
+    """Serialize an (h, w, 3|4) uint8 array as an 8-bit truecolor PNG with
+    filter-0 scanlines. ``compress=False`` emits stored zlib blocks and
+    (with ``zero_crc=True``) a byte stream the oracle can recompute purely
+    arithmetically; decode_png accepts both forms identically."""
+    h, w, nch = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw) if compress else _zlib_stored(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nch == 3 else 6, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr, zero_crc)
+            + _chunk(b"IDAT", idat, zero_crc)
+            + _chunk(b"IEND", b"", zero_crc))
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """STUB: deterministic stand-in for a real decoder (PIL/librosa/ffmpeg
     are not installed here). Produces an 8-dim float feature from payload
@@ -157,7 +288,12 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             dw, dh, dd, dn, feats = [], [], [], [], []
             for p, k in zip(pdf["payload"], pdf["kind"]):
-                dec = decode_bmp(p) or decode_wav(p)
+                try:
+                    dec = decode_bmp(p) or decode_wav(p) or decode_png(p)
+                except Exception:
+                    # belt-and-braces: a malformed payload must degrade to
+                    # the stub path, never fail the whole Spark task
+                    dec = None
                 if dec is None:
                     dec = dict(dec_width=None, dec_height=None,
                                dec_duration_ms=None, dec_nsamples=None,
@@ -233,12 +369,15 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int = 64):
+def synth_media(spark, n: int = 64, n_png: int = 0):
     """Deterministic media table for tests: REAL BMP bytes for images,
     REAL WAV PCM bytes for audio (both fully arithmetic — the DuckDB
     oracle re-derives n_bytes/checksum/dims/duration from the same
     formulas without touching the Python decoders), and an opaque blob
-    for video (the stub-decode path)."""
+    for video (the stub-decode path). ``n_png`` appends that many REAL
+    8-bit RGB PNGs (ids n..n+n_png-1) built with stored zlib blocks and
+    zeroed CRCs, so every byte — adler32 trailer included — is an
+    arithmetic function of (i, x, y, c) the oracle can recompute."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -267,6 +406,19 @@ def synth_media(spark, n: int = 64):
                 mime={"image": "image/bmp", "audio": "audio/wav",
                       "video": "video/mp4"}[kind],
                 width=width, height=height, duration_ms=duration,
+            )
+        )
+    for i in range(n, n + n_png):
+        w, h = 3 + i % 4, 2 + i % 3
+        px = np.fromfunction(
+            lambda y, x, c: (i * 5 + x * 7 + y * 3 + c * 13) % 256,
+            (h, w, 3),
+        ).astype(np.uint8)
+        rows.append(
+            dict(
+                media_id=i, kind="image",
+                payload=make_png(px, compress=False, zero_crc=True),
+                mime="image/png", width=w, height=h, duration_ms=None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -50,13 +50,14 @@ def _assert_match(golden, got):
     # --- lineage metrics ---------------------------------------------------
     got_m = {
         m["round"]: (m["admitted"], m["fetched"], m["deduped"],
-                     m["robots_denied"], m["errors"])
+                     m["robots_denied"], m["errors"],
+                     m.get("url_blocked", 0))
         for m in got["metrics"]
     }
     for m in golden.metrics:
         assert got_m[m["round"]] == (
             m["admitted"], m["fetched"], m["deduped"],
-            m["robots_denied"], m["errors"],
+            m["robots_denied"], m["errors"], m.get("url_blocked", 0),
         ), f"round {m['round']}: {got_m[m['round']]} != {m}"
 
 
@@ -119,3 +120,37 @@ def test_outlinks_sink(spark, web, web_dfs):
         for r in got["outlinks"].collect()
     }
     assert got_ol == golden.outlinks
+
+
+def test_url_gating_blocklisted_host_never_fetched(spark, web, web_dfs):
+    """Frontier URL gating wired into the crawl (VERDICT r03 #1): with
+    hostb.example suffix-blocklisted, a follow-other-domains crawl ships
+    zero hostb pages, counts the drops in per-round metrics, and still
+    matches the simulator bit-for-bit (the simulator implements the same
+    JobSpec knobs independently)."""
+    spec = JobSpec(job_id="job-gate", seed_url="http://hosta.example/p/0",
+                   follow_other_domains=True, depth=3,
+                   min_delay_s=1, round_seconds=10, max_concurrent=5,
+                   max_rounds=10, host_blocklist=("hostb.example",))
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_match(golden, got)
+    fetched_hosts = {o["host"] for o in golden.order}
+    assert "hostc.example" in fetched_hosts  # other domains DO crawl
+    assert "hostb.example" not in fetched_hosts  # blocked: zero fetches
+    assert all("hostb.example" not in r["url"]
+               for r in got["order"].collect())
+    assert sum(m.get("url_blocked", 0) for m in got["metrics"]) > 0
+
+
+def test_url_gating_spam_signals(spark, web, web_dfs):
+    """Spam-signal thresholds as JobSpec knobs: with max_path_depth=1
+    every /p/N child (depth 2) is gated out, so the crawl fetches ONLY
+    the seed, every extracted eligible link is counted url_blocked, and
+    engine == simulator throughout."""
+    spec = JobSpec(job_id="job-gate2", seed_url="http://hosta.example/p/0",
+                   min_delay_s=1, round_seconds=10, max_concurrent=5,
+                   max_rounds=8, max_path_depth=1, max_query_params=0)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_match(golden, got)
+    assert len(golden.order) == 1  # the seed alone; all children gated
+    assert golden.metrics[0]["url_blocked"] > 0

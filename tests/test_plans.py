@@ -96,3 +96,25 @@ def test_banded_near_dup_shuffles_on_band_bucket(spark):
     # the exact dot-product threshold sits INSIDE the join condition,
     # not as a post-filter over a wider join output
     assert "Join condition" in plan and "10000000" in plan
+
+
+def test_blocklist_broadcasts_only_the_dim(spark):
+    """blocklist_filter (VERDICT r03 #5): the only broadcast HINT is on
+    the input blocklist dim; the frontier-derived blocked-host set joins
+    back by host key with no forced broadcast (Catalyst/AQE may still
+    choose one at runtime from actual stats — that is the point)."""
+    from ideacrawler_spark.operators.urlfilter import blocklist_filter
+
+    fr = spark.range(2000).select(
+        F.concat(F.lit("h"), (F.col("id") % 37).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+    )
+    out = blocklist_filter(fr, ["h3.example", "h7.example"])
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    rows = out.collect()
+    blocked = {r["host"] for r in rows if r["blocked"]}
+    assert blocked == {"h3.example", "h7.example"}
+    # residues 3 and 7 each occur floor(2000/37)=54 times in 0..1999
+    assert sum(r["blocked"] for r in rows) == 54 * 2

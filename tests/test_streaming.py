@@ -33,7 +33,8 @@ def test_streaming_pushes_match_batch(spark, web, web_dfs, tmp_path):
     assert sc.batches == 2
 
     # replay as a batch job with pushes at the rounds the stream recorded
-    injected = [dict(p) for p in eng.pushes]
+    # (injection consumes eng.pushes; pushes_log keeps effective rounds)
+    injected = [dict(p) for p in eng.pushes_log]
     eng2 = CrawlEngine(spark, spec, pages_df, robots_df, pushes=injected,
                        shuffle_partitions=8)
     out2 = eng2.run()
