@@ -91,6 +91,48 @@ class ParquetManifestCatalog:
         with open(p) as f:
             return json.load(f)
 
+    def expire(self, before_round: int) -> list:
+        """The expire-snapshots analogue (VERDICT r03 #6): delete round
+        state SUPERSEDED by the committed round ``before_round`` —
+
+        - per-round ``bloom`` shard dirs and ``frontier_next`` older than
+          ``before_round`` (resume only ever reads the latest committed
+          round's copies);
+        - ``seen_delta``/older ``seen_full`` tables covered by a
+          ``seen_full`` compaction at ``before_round`` (resume rebuilds
+          the seen-set as latest full + later deltas).
+
+        Result tables (shipped/order/outlinks), lineage (part_metrics)
+        and commit manifests are NEVER touched, so committed rounds stay
+        readable and resume-from-latest is unaffected. No-op unless
+        ``before_round`` is committed. Returns the deleted paths."""
+        import shutil
+
+        removed: list = []
+        if not self.is_committed(before_round):
+            return removed
+        have_full = self.has_table(before_round, "seen_full")
+        have_bloom = self.has_table(before_round, "bloom")
+        for name in os.listdir(self.root):
+            if not name.startswith("round="):
+                continue
+            i = int(name.split("=", 1)[1])
+            doomed = []
+            if i < before_round:
+                doomed.append("frontier_next")
+                if have_bloom:
+                    doomed.append("bloom")
+                if have_full:
+                    doomed += ["seen_delta", "seen_full"]
+            elif i == before_round and have_full:
+                doomed.append("seen_delta")
+            for t in doomed:
+                p = self.round_path(i, t)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    removed.append(p)
+        return removed
+
     def last_committed(self) -> int:
         """Highest committed round, or -1."""
         if not os.path.isdir(self.root):

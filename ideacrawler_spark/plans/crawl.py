@@ -64,6 +64,7 @@ class CrawlEngine:
         bloom_shards: int = 64,
         seen_filter: str = "bloom",   # or "cuckoo" (operators/cuckoo.py)
         seen_compact_every: int = 8,
+        expire_on_compact: bool = True,
     ):
         self.spark = spark
         self.spec = spec
@@ -99,6 +100,10 @@ class CrawlEngine:
         # model; VERDICT r02 #2: full rewrites made total crawl IO
         # O(N * rounds) at the 10^10-URL target)
         self.seen_compact_every = max(1, seen_compact_every)
+        # after a committed compaction, superseded deltas / older blooms /
+        # stale frontiers are dead weight forever — expire them (the
+        # Iceberg expire-snapshots rhythm, VERDICT r03 #6)
+        self.expire_on_compact = expire_on_compact
         self._seen_parts: List[DataFrame] = []
         # mutable crawl state
         self.frontier: Optional[DataFrame] = None
@@ -476,6 +481,7 @@ class CrawlEngine:
         self.frontier = frontier_next
         self._seen_parts.append(seen_delta)
         self.seen = self._union_balanced(list(self._seen_parts))
+        compacted_this_round = False
         if (rnd + 1) % self.seen_compact_every == 0:
             # compaction: one full rewrite every k rounds keeps the union
             # shallow and bounds read amplification — the Iceberg
@@ -491,10 +497,15 @@ class CrawlEngine:
                         pass
             self._seen_parts = [compacted]
             self.seen = compacted
+            compacted_this_round = True
         self._shipped.append(shipped)
         self._order.append(order)
         self._outlinks.append(outlinks)
         self._commit_round(rnd)
+        if self.ckpt and compacted_this_round and self.expire_on_compact:
+            # AFTER the commit: a crash mid-expire leaves a fully
+            # resumable checkpoint (expiry only deletes superseded state)
+            self.catalog.expire(rnd)
         self.round += 1
         return n_pending
 

@@ -205,10 +205,13 @@ def test_seen_delta_layout_and_compaction(spark, web, web_dfs, tmp_path):
     pages_df, robots_df, _, _ = web_dfs
     _, _, _, pushes = web
     ck = str(tmp_path / "ck")
+    # expire_on_compact=False: this test asserts the PARTITION property of
+    # the raw delta layout (every delta kept); expiry itself is covered by
+    # test_expire_removes_superseded_state
     out = CrawlEngine(spark, _spec(max_rounds=8, depth=3), pages_df,
                       robots_df, pushes, checkpoint_dir=ck,
                       shuffle_partitions=8, bloom_shards=8,
-                      seen_compact_every=3).run()
+                      seen_compact_every=3, expire_on_compact=False).run()
     total_seen = out["seen"].count()
     delta_rows = spark.read.parquet(f"{ck}/seen_init").count()
     for r in range(out["rounds"]):
@@ -250,4 +253,49 @@ def test_resume_after_compaction_equivalence(spark, web, web_dfs, tmp_path):
                        checkpoint_dir=ck, shuffle_partitions=8,
                        bloom_shards=8, seen_compact_every=2)
     out2 = eng2.run(resume=True)
+    assert _final_state(out2) == ref_state
+
+
+def test_expire_removes_superseded_state(spark, web, web_dfs, tmp_path):
+    """catalog.expire (VERDICT r03 #6): after a committed compaction,
+    superseded seen deltas, older seen_fulls/blooms and stale frontiers
+    are deleted; shipped/order/outlinks/manifests survive; and a crash-
+    resume from the expired checkpoint still matches the uninterrupted
+    crawl."""
+    import os
+
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    full_spec = _spec(max_rounds=8, depth=3)
+    ref = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ref"),
+                      shuffle_partitions=8, bloom_shards=8,
+                      seen_compact_every=2).run()
+    ref_state = _final_state(ref)
+
+    ck = str(tmp_path / "exp")
+    cut_spec = dataclasses.replace(full_spec, max_rounds=4)
+    out = CrawlEngine(spark, cut_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=ck, shuffle_partitions=8,
+                      bloom_shards=8, seen_compact_every=2).run()
+    assert out["rounds"] == 4  # compactions at rounds 1 and 3
+    # superseded state is GONE: deltas <= 3, bloom/frontier/full < 3
+    for r in range(3):
+        assert not os.path.isdir(f"{ck}/round={r}/bloom")
+        assert not os.path.isdir(f"{ck}/round={r}/frontier_next")
+        assert not os.path.isdir(f"{ck}/round={r}/seen_full")
+    for r in range(4):
+        assert not os.path.isdir(f"{ck}/round={r}/seen_delta")
+    # latest committed round keeps everything resume needs; results and
+    # manifests for every round survive
+    assert os.path.isdir(f"{ck}/round=3/seen_full")
+    assert os.path.isdir(f"{ck}/round=3/bloom")
+    assert os.path.isdir(f"{ck}/round=3/frontier_next")
+    for r in range(4):
+        assert os.path.exists(f"{ck}/round={r}/_COMMIT.json")
+        assert os.path.isdir(f"{ck}/round={r}/shipped")
+    # resume THROUGH the expired checkpoint equals the uninterrupted run
+    out2 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8,
+                       bloom_shards=8, seen_compact_every=2).run(resume=True)
     assert _final_state(out2) == ref_state
