@@ -179,11 +179,15 @@ def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
 # documented quirk). No xpath library ships in this sandbox, so the
 # evaluator below builds a mini-DOM on the stdlib tokenizer and supports
 # the location-path subset real callback specs use:
-#   //tag   //tag[@attr='v']   //div/span   //div//span   /html/head/title
-#   (* as a wildcard tag; child and descendant axes; one attribute
-#   predicate per step). String value = concatenated descendant text of
-#   the first match in document order (antchfx Value()); no match or an
-#   unsupported expression → empty string (antchfx: empty node value).
+#   //tag   //tag[@attr='v']   //tag[n]   //tag[contains(@attr,'v')]
+#   //tag[contains(text(),'v')]   //div/span   //div//span
+#   /html/head/title   //meta[@name='x']/@content   //title/text()
+#   (* as a wildcard tag; child and descendant axes; one predicate per
+#   step; trailing @attr / text() node selection). String value =
+#   concatenated descendant text of the first match in document order
+#   (antchfx Value()); attribute and text nodes value to their own
+#   content; no match or an unsupported expression → empty string
+#   (antchfx: empty node value).
 
 _VOID_TAGS = {"area", "base", "br", "col", "embed", "hr", "img", "input",
               "link", "meta", "param", "source", "track", "wbr"}
@@ -239,21 +243,48 @@ def _build_tree(html: bytes | str) -> _MiniNode:
 
 
 _RX_XPATH_STEP = re.compile(
-    r"^([A-Za-z][\w-]*|\*)"                      # tag or *
-    r"(?:\[@([\w-]+)=(['\"])(.*?)\3\]|\[(\d+)\])?$"  # [@attr='v'] or [n]
+    r"^([A-Za-z][\w-]*|\*)(?:\[(.+)\])?$"        # tag or *, optional [pred]
 )
+# predicate forms: [@attr='v']  [n]  [contains(@attr,'v')]
+#                  [contains(text(),'v')]
+_RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)=(['\"])(.*?)\2$")
+_RX_PRED_POS = re.compile(r"^(\d+)$")
+_RX_PRED_CONTAINS = re.compile(
+    r"^contains\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
+
+
+def _parse_pred(pred: str):
+    """One predicate → ("attr_eq", name, val) | ("pos", n) |
+    ("contains_attr", name, val) | ("contains_text", val) | None."""
+    m = _RX_PRED_ATTR_EQ.match(pred)
+    if m:
+        return ("attr_eq", m.group(1), m.group(3))
+    m = _RX_PRED_POS.match(pred)
+    if m:
+        n = int(m.group(1))
+        return ("pos", n) if n >= 1 else None  # XPath positions are 1-based
+    m = _RX_PRED_CONTAINS.match(pred)
+    if m:
+        if m.group(1) is not None:
+            return ("contains_attr", m.group(1), m.group(3))
+        return ("contains_text", m.group(3))
+    return None
 
 
 def _parse_xpath(path: str):
-    """Location path → [(descendant_axis, tag, attr, value, index), ...]
-    or None if the expression is outside the supported subset. ``index``
-    is the 1-based positional predicate ([n] — n-th matching node of the
-    step in document order, antchfx/XPath position semantics for the
-    child axis) or None."""
+    """Location path → (steps, terminal) or None outside the subset.
+
+    steps = [(descendant_axis, tag, pred), ...] with pred from
+    ``_parse_pred`` (at most one per step). terminal selects what the
+    LAST path component extracts: None (element string value),
+    ("text",) for a trailing ``text()``, or ("attr", name) for a
+    trailing ``@name`` — the antchfx node kinds real callback specs use
+    (job.go:233-269 evaluates arbitrary antchfx xpath)."""
     if not path.startswith("/"):
         return None
     parts = path.split("/")
     steps, descendant, idx = [], False, 1
+    terminal = None
     while idx < len(parts):
         p = parts[idx]
         if p == "":
@@ -262,17 +293,31 @@ def _parse_xpath(path: str):
             descendant = True
             idx += 1
             continue
+        last = idx == len(parts) - 1
+        if last and p == "text()":
+            if descendant:
+                return None  # //text() over elements is out of subset
+            terminal = ("text",)
+            break
+        if last and p.startswith("@") and re.match(r"^@[\w-]+$", p):
+            if descendant:
+                return None
+            terminal = ("attr", p[1:])
+            break
         m = _RX_XPATH_STEP.match(p)
         if m is None:
             return None
-        pos = int(m.group(5)) if m.group(5) else None
-        if pos == 0:
-            return None  # XPath positions are 1-based
-        steps.append((descendant, m.group(1).lower(), m.group(2),
-                      m.group(4), pos))
+        pred = None
+        if m.group(2) is not None:
+            pred = _parse_pred(m.group(2))
+            if pred is None:
+                return None
+        steps.append((descendant, m.group(1).lower(), pred))
         descendant = False
         idx += 1
-    return steps or None
+    if not steps:
+        return None
+    return steps, terminal
 
 
 def _iter_descendants(node: _MiniNode):
@@ -288,14 +333,21 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
     ``descendant-or-self::node()/child::p[position()=2]``); results are
     returned in document order (pre-order over the tree)."""
     current = [root]
-    for descendant, tag, attr, val, pos in steps:
+    for descendant, tag, pred in steps:
+        pos = pred[1] if pred and pred[0] == "pos" else None
 
         def match(c):
             if tag != "*" and c.tag != tag:
                 return False
-            if attr is not None and (c.attrs.get(attr) or "") != val:
-                return False
-            return True
+            if pred is None or pred[0] == "pos":
+                return True
+            if pred[0] == "attr_eq":
+                return (c.attrs.get(pred[1]) or "") == pred[2]
+            if pred[0] == "contains_attr":
+                return pred[2] in (c.attrs.get(pred[1]) or "")
+            if pred[0] == "contains_text":
+                return pred[1] in _node_string_value(c)
+            return False
 
         selected = set()
         for n in current:
@@ -328,14 +380,34 @@ def _node_string_value(node: _MiniNode) -> str:
 
 
 def xpath_first_value(html: bytes | str | None, path: str) -> str:
-    """First-node string value of ``path`` over ``html`` (subset above)."""
+    """First-node string value of ``path`` over ``html`` (subset above).
+
+    Trailing ``text()`` yields the first text-node child of the first
+    matching element that has one; trailing ``@name`` yields the first
+    matching element's ``name`` attribute (antchfx node-value semantics:
+    attribute/text nodes value to their own content)."""
     if html is None:
         return ""
-    steps = _parse_xpath(path.strip())
-    if steps is None:
+    parsed = _parse_xpath(path.strip())
+    if parsed is None:
         return ""
+    steps, terminal = parsed
     nodes = _eval_xpath(_build_tree(html), steps)
-    return _node_string_value(nodes[0]) if nodes else ""
+    if not nodes:
+        return ""
+    if terminal is None:
+        return _node_string_value(nodes[0])
+    if terminal[0] == "text":
+        for n in nodes:
+            for c in n.children:
+                if isinstance(c, str):
+                    return c
+        return ""
+    for n in nodes:  # ("attr", name): first element carrying it
+        v = n.attrs.get(terminal[1])
+        if v is not None:
+            return v
+    return ""
 
 
 def xpath_all_equal(html, pairs) -> bool:

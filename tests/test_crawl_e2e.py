@@ -154,3 +154,17 @@ def test_url_gating_spam_signals(spark, web, web_dfs):
     _assert_match(golden, got)
     assert len(golden.order) == 1  # the seed alone; all children gated
     assert golden.metrics[0]["url_blocked"] > 0
+
+
+def test_callback_xpath_attr_and_text_spec(spark, web, web_dfs):
+    """Crawl golden driving the WIDENED xpath forms (VERDICT r03 #5)
+    through a real callback spec: //title/text() equality ships exactly
+    the one page whose title (= its URL in the fixture) matches."""
+    spec = JobSpec(job_id="job-xp", seed_url="http://hosta.example/p/0",
+                   depth=2, min_delay_s=1, round_seconds=10,
+                   max_concurrent=5, max_rounds=8,
+                   callback_xpath_match=(
+                       ("//title/text()", "http://hosta.example/p/2"),))
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_match(golden, got)
+    assert [s["url"] for s in golden.shipped] == ["http://hosta.example/p/2"]

@@ -178,3 +178,39 @@ def test_xpath_positional_predicates():
     assert x(h, "/html/body/ul/li[1]") == "one"
     assert x(h, "//p") == "deep"             # document order (pre-order)
     assert x(h, "//li[0]") == ""             # XPath positions are 1-based
+
+
+def test_xpath_text_attr_contains():
+    """Widened once more (VERDICT r03 #5): trailing text() and @attr node
+    selection plus contains() predicates — the remaining forms real
+    callback specs use (//meta[@name=...]/@content etc.)."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><head>"
+         b'<meta name="author" content="ada">'
+         b'<meta name="description" content="a crawler test page">'
+         b"<title>T1</title></head><body>"
+         b'<a href="/next" class="nav link">go <b>now</b></a>'
+         b'<div class="x">lead text<span>skip</span>tail</div>'
+         b'<p class="other">nope</p>'
+         b"</body></html>")
+    # trailing @attr: first matching element's attribute value
+    assert x(h, "//meta[@name='author']/@content") == "ada"
+    assert x(h, "//meta/@content") == "ada"          # first meta wins
+    assert x(h, "//a/@href") == "/next"
+    assert x(h, "//a/@nosuch") == ""
+    assert x(h, "//nosuch/@id") == ""
+    # trailing text(): first TEXT CHILD only, not descendant text
+    assert x(h, "//a/text()") == "go "
+    assert x(h, "//div[@class='x']/text()") == "lead text"
+    assert x(h, "//meta/text()") == ""               # void element: no text
+    # contains() on attributes and on text
+    assert x(h, "//a[contains(@class,'nav')]") == "go now"
+    assert x(h, "//meta[contains(@content,'crawler')]/@name") == "description"
+    assert x(h, "//div[contains(text(),'lead')]") == "lead textskiptail"
+    assert x(h, "//p[contains(@class,'nav')]") == ""
+    assert x(h, "//a[contains(@class,'not there')]") == ""
+    # malformed/unsupported stay out of the subset (empty, no crash)
+    assert x(h, "//a[contains(@class)]") == ""
+    assert x(h, "//a/text") == ""
+    assert x(h, "//@href") == ""                     # descendant @ unsupported
