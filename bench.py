@@ -97,7 +97,6 @@ def scaling_pair(n: int, max_attempts: int) -> tuple[dict, list]:
     attempt is recorded with its start/end loadavg so the committed JSON
     is self-evidently valid either way)."""
     attempts = []
-    best = None
     for i in range(max_attempts):
         if i > 0:
             _wait_for_quiet(max_wait_s=180)
@@ -115,11 +114,17 @@ def scaling_pair(n: int, max_attempts: int) -> tuple[dict, list]:
             "loadavg_end": round(os.getloadavg()[0], 1),
         }
         attempts.append(att)
-        if best is None or att["efficiency"] > best["efficiency"]:
-            best = att
         if eff >= SCALING_GATE:
-            break
-    return best, attempts
+            # first PASSING attempt is the record (an existence proof of
+            # the engine's scaling; retries only re-measure under less
+            # neighbor load, never re-tune the engine)
+            att2 = dict(att, selection="first_passing")
+            return att2, attempts
+    # no attempt passed: report the MEDIAN attempt, not the best — a
+    # failing artifact must not be a max-of-attempts statistic (ADVICE
+    # r03: best-of-N quietly weakens the gate)
+    med = sorted(attempts, key=lambda a: a["efficiency"])[len(attempts) // 2]
+    return dict(med, selection="median_of_failing"), attempts
 
 
 def main():
@@ -145,6 +150,7 @@ def main():
             "efficiency": best["efficiency"],
             "gate": SCALING_GATE,
             "gate_passed": best["efficiency"] >= SCALING_GATE,
+            "selection": best.get("selection", "first_passing"),
             "frontier_n": n,
             "attempts": attempts,
         }
@@ -178,8 +184,11 @@ def main():
 
     qmap = e.queries()
 
+    def run_noop_at(q, d):
+        qmap[q](spark, d).write.format("noop").mode("overwrite").save()
+
     def run_noop(q):
-        qmap[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_noop_at(q, sf_dir)
 
     for q in ("minhash_lsh_pairs", "simhash", "embedding_topk", "ivf_topk",
               "ann_lsh_topk", "langid", "fingerprint", "crawl_order",
@@ -249,12 +258,44 @@ def main():
             loadavg_end=round(os.getloadavg()[0], 1),
         )
         e2e_attempts.append(att)
-        if e2e_best is None or att["sec_per_round"] < e2e_best["sec_per_round"]:
-            e2e_best = att
         if att["sec_per_round"] <= E2E_TARGET_SPR:
+            e2e_best = dict(att, selection="first_passing")
             break
+    if e2e_best is None:
+        # none met the target: record the MEDIAN attempt (ADVICE r03 —
+        # a missing target must not be softened by a best-of statistic)
+        med = sorted(e2e_attempts,
+                     key=lambda a: a["sec_per_round"])[len(e2e_attempts) // 2]
+        e2e_best = dict(med, selection="median_of_failing")
     queries["crawl_e2e"] = e2e_best["seconds"]
     extras["crawl_e2e"] = dict(e2e_best, attempts=e2e_attempts)
+
+    # ---- LLM-op scale evidence (VERDICT r03 #8): the dedup chain and the
+    #      PII scrub at TWO scale factors, time ratio reported. The data
+    #      ratio is 10x (sf0.01 -> sf0.1); near-linear ops should come in
+    #      well under 10x wall (fixed driver/plan overheads amortize).
+    small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR",
+                               "/root/testdata/sf0.01")
+    op_scaling = {}
+    for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub"):
+        t0 = time.monotonic()
+        run_noop_at(qname, small_dir)
+        t_small = time.monotonic() - t0
+        t0 = time.monotonic()
+        run_noop_at(qname, sf_dir)
+        t_big = time.monotonic() - t0
+        queries.setdefault(qname, round(t_big, 3))
+        op_scaling[qname] = {
+            "sec_small": round(t_small, 3),
+            "sec_big": round(t_big, 3),
+            "time_ratio": round(t_big / t_small, 2),
+        }
+    extras["op_scaling"] = {
+        "sf_small": small_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf_big": sf,
+        "data_ratio": 10.0,
+        "ops": op_scaling,
+    }
 
     total = sum(queries.values())
     # the sandbox host is shared: record background load so throughput
