@@ -813,7 +813,7 @@ def q_pii_scrub(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, n_png=16)).select(
+    return extract_features(synth_media(spark, n_png=16, n_mp4=16)).select(
         "media_id", "kind", "n_bytes", "checksum",
         "dec_width", "dec_height", "dec_duration_ms", "dec_nsamples",
     )
@@ -1503,6 +1503,29 @@ def oracle_sql() -> dict[str, str]:
                 w::INT AS dec_width, h::INT AS dec_height,
                 NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
               FROM png_adler)
+            UNION ALL
+            -- media 80..95 are REAL minimal mp4 containers (ftyp + moov/
+            -- mvhd/trak/tkhd + mdat) whose dims/duration decode_mp4 parses
+            -- from the box structure. Every dynamic field (w, h, duration
+            -- x2, mdat size, data bytes) is < 256, so each contributes its
+            -- value to the whole-file byte sum; 4410 is the byte sum of the
+            -- fixed scaffolding (box sizes/types, matrix, timescale 1000,
+            -- rate/volume/flags), independently pinned by
+            -- test_mp4_decoder_roundtrip's first-principles check.
+            SELECT i::BIGINT AS media_id, 'video' AS kind,
+                   (244 + 16 * (i % 5 + 1))::INT AS n_bytes,
+                   (4410 + (16 + i % 9) + (9 + i % 7)
+                    + 2 * ((i % 20 + 1) * 10)
+                    + 8 + 16 * (i % 5 + 1)
+                    + list_sum(list_transform(
+                        range(0, 16 * (i % 5 + 1)),
+                        j -> (i * 13 + j * 7) % 251))
+                   )::BIGINT AS checksum,
+                   (16 + i % 9)::INT AS dec_width,
+                   (9 + i % 7)::INT AS dec_height,
+                   ((i % 20 + 1) * 10)::INT AS dec_duration_ms,
+                   NULL::INT AS dec_nsamples
+            FROM range(80, 96) t(i)
         """,
     }
 

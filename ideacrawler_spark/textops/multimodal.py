@@ -262,6 +262,119 @@ def make_png(pixels: np.ndarray, compress: bool = True,
             + _chunk(b"IEND", b"", zero_crc))
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """ISO-BMFF box walk: [(type, body_start, body_end), ...]. Stops at
+    the first truncated or malformed box (size < header, size past end).
+    Handles 64-bit largesize boxes (size==1)."""
+    out = []
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            break
+        out.append((btype, pos + hdr, pos + size))
+        pos += size
+    return out
+
+
+def decode_mp4(payload: bytes) -> Optional[dict]:
+    """Parse ISO-BMFF (mp4) container METADATA from actual bytes: box
+    walk to moov/mvhd for timescale+duration (version 0 and 1) and the
+    first video trak's tkhd for 16.16-fixed width/height. No frame
+    decode (that needs a media lib); the container structure parse is
+    real and bounds-checked — truncated/garbage input returns None."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    top = _mp4_boxes(payload, 0, len(payload))
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    dur_ms = None
+    w = h = None
+    for t, s, e in _mp4_boxes(payload, moov[0], moov[1]):
+        body = payload[s:e]
+        if t == b"mvhd" and dur_ms is None:
+            if len(body) < 1:
+                continue
+            v = body[0]
+            if v == 0 and len(body) >= 20:
+                ts = int.from_bytes(body[12:16], "big")
+                dur = int.from_bytes(body[16:20], "big")
+            elif v == 1 and len(body) >= 32:
+                ts = int.from_bytes(body[20:24], "big")
+                dur = int.from_bytes(body[24:32], "big")
+            else:
+                continue
+            if ts > 0:
+                dur_ms = int(dur * 1000 // ts)
+        elif t == b"trak" and w is None:
+            for t2, s2, e2 in _mp4_boxes(payload, s, e):
+                if t2 != b"tkhd":
+                    continue
+                b2 = payload[s2:e2]
+                if len(b2) < 1:
+                    continue
+                off = 76 if b2[0] == 0 else 88  # v1 adds 12 bytes
+                if len(b2) >= off + 8:
+                    tw = int.from_bytes(b2[off:off + 4], "big") >> 16
+                    th = int.from_bytes(b2[off + 4:off + 8], "big") >> 16
+                    if tw > 0 and th > 0:
+                        w, h = tw, th
+    if dur_ms is None:
+        return None
+    feat = np.zeros(8, dtype=np.float32)
+    feat[0], feat[1] = float(w or 0), float(h or 0)
+    feat[2] = float(dur_ms)
+    feat[3] = float(len(top))
+    feat[4] = float(len(payload))
+    return dict(
+        dec_width=w, dec_height=h,
+        dec_duration_ms=dur_ms, dec_nsamples=None, feat=feat,
+    )
+
+
+_MP4_MATRIX = (struct.pack(">I", 0x00010000) + b"\x00" * 12
+               + struct.pack(">I", 0x00010000) + b"\x00" * 12
+               + struct.pack(">I", 0x40000000))
+
+
+def make_mp4(w: int, h: int, duration_ms: int, data: bytes) -> bytes:
+    """Serialize a minimal but structurally-valid mp4: ftyp + moov(mvhd
+    v0 timescale=1000 + trak/tkhd v0 with 16.16 dims) + mdat. With
+    w, h, duration_ms and len(data)+8 all < 256, every multi-byte field
+    contributes exactly its value to the whole-file byte sum, so the
+    oracle re-derives the checksum arithmetically (the PNG trick)."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mvhd = box(b"mvhd", bytes(4)                      # version 0 + flags
+               + bytes(8)                             # ctime/mtime
+               + struct.pack(">II", 1000, duration_ms)  # timescale, dur
+               + struct.pack(">I", 0x00010000)        # rate 1.0
+               + struct.pack(">H", 0x0100) + bytes(2)  # volume, reserved
+               + bytes(8) + _MP4_MATRIX + bytes(24)
+               + struct.pack(">I", 1))                # next track id
+    tkhd = box(b"tkhd", bytes([0, 0, 0, 7])           # v0, enabled
+               + bytes(8)                             # ctime/mtime
+               + struct.pack(">I", 1) + bytes(4)      # track id, reserved
+               + struct.pack(">I", duration_ms)
+               + bytes(8) + bytes(8)                  # reserved, layer...
+               + _MP4_MATRIX
+               + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", data)
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """STUB: deterministic stand-in for a real decoder (PIL/librosa/ffmpeg
     are not installed here). Produces an 8-dim float feature from payload
@@ -289,7 +402,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             dw, dh, dd, dn, feats = [], [], [], [], []
             for p, k in zip(pdf["payload"], pdf["kind"]):
                 try:
-                    dec = decode_bmp(p) or decode_wav(p) or decode_png(p)
+                    dec = (decode_bmp(p) or decode_wav(p) or decode_png(p)
+                           or decode_mp4(p))
                 except Exception:
                     # belt-and-braces: a malformed payload must degrade to
                     # the stub path, never fail the whole Spark task
@@ -369,7 +483,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int = 64, n_png: int = 0):
+def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0):
     """Deterministic media table for tests: REAL BMP bytes for images,
     REAL WAV PCM bytes for audio (both fully arithmetic — the DuckDB
     oracle re-derives n_bytes/checksum/dims/duration from the same
@@ -419,6 +533,18 @@ def synth_media(spark, n: int = 64, n_png: int = 0):
                 media_id=i, kind="image",
                 payload=make_png(px, compress=False, zero_crc=True),
                 mime="image/png", width=w, height=h, duration_ms=None,
+            )
+        )
+    for i in range(n + n_png, n + n_png + n_mp4):
+        w, h = 16 + i % 9, 9 + i % 7
+        dur = (i % 20 + 1) * 10
+        data = bytes((i * 13 + j * 7) % 251
+                     for j in range(16 * (i % 5 + 1)))
+        rows.append(
+            dict(
+                media_id=i, kind="video",
+                payload=make_mp4(w, h, dur, data),
+                mime="video/mp4", width=w, height=h, duration_ms=dur,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

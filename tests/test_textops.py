@@ -523,3 +523,43 @@ def test_source_stats_dominant_lang_tiebreak(spark):
     assert s1["n_chars"] == 3 + 5 + 1 + 3
     assert (s1["top_lang"], s1["top_lang_docs"]) == ("de", 2)  # tie → 'de'
     assert (out["s2"]["top_lang"], out["s2"]["n_docs"]) == ("zh", 1)
+
+
+def test_mp4_decoder_roundtrip(spark):
+    """decode_mp4 walks REAL ISO-BMFF box structure (moov/mvhd/tkhd) —
+    dims and duration parsed from bytes; truncated/garbage rejected; and
+    the oracle's checksum arithmetic (constant 4410 + linear terms) is
+    pinned from first principles."""
+    from ideacrawler_spark.textops.multimodal import (
+        decode_mp4, extract_features, make_mp4, synth_media,
+    )
+
+    p = make_mp4(320, 240, 1500, bytes(range(100)))
+    d = decode_mp4(p)
+    assert (d["dec_width"], d["dec_height"], d["dec_duration_ms"]) == \
+        (320, 240, 1500)
+    # truncation / garbage rejected, not raised
+    assert decode_mp4(p[:10]) is None and decode_mp4(p[:40]) is None
+    assert decode_mp4(b"\x00\x00\x00\x08ftypAAAA") is None  # no moov
+    assert decode_mp4(bytes(64)) is None
+    # version-1 mvhd (64-bit duration) parses too
+    import struct
+    body = (b"\x01" + bytes(3) + bytes(16)
+            + struct.pack(">I", 1000) + struct.pack(">Q", 2500))
+    mvhd1 = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isomisom"
+    assert decode_mp4(ftyp + moov)["dec_duration_ms"] == 2500
+    # checksum model: byte sum is 4410 + w + h + 2*dur + (8+dlen) + sum(data)
+    assert sum(make_mp4(0, 0, 0, b"")) == 4410 + 8
+    for (w, h, dur, data) in [(1, 0, 0, b""), (0, 1, 0, b""),
+                              (0, 0, 1, b""), (0, 0, 0, b"\x05")]:
+        assert sum(make_mp4(w, h, dur, data)) == \
+            4410 + w + h + 2 * dur + 8 + len(data) + sum(data)
+    # synth mp4 rows flow through extract_features with real decode
+    feats = extract_features(
+        synth_media(spark, n=0, n_mp4=3)).orderBy("media_id").collect()
+    for r in feats:
+        i = r["media_id"]
+        assert (r["dec_width"], r["dec_height"], r["dec_duration_ms"]) == \
+            (16 + i % 9, 9 + i % 7, (i % 20 + 1) * 10)
