@@ -158,6 +158,9 @@ def main():
     # ---- headline throughput at full width --------------------------------
     from ideacrawler_spark.plans.bench_workload import frontier_round
 
+    # the scaling pair just saturated the box; its load decays with a
+    # ~1 min constant and would depress the headline measurement
+    _wait_for_quiet(max_wait_s=120)
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     frontier_round(spark, 500_000)
@@ -231,15 +234,18 @@ def main():
     E2E_TARGET_SPR = 7.0
     e2e_attempts = []
     e2e_best = None
-    for i in range(int(os.environ.get("SPARK_GRAFT_E2E_ATTEMPTS", "3"))):
+    for i in range(int(os.environ.get("SPARK_GRAFT_E2E_ATTEMPTS", "4"))):
         # drop the previous attempt's leftover blocks (superseded
         # localCheckpoints pile up across engines and slow later
         # attempts), then re-materialize the input cache off the clock
         spark.catalog.clearCache()
         pages_df.persist()
         pages_df.count()
-        if i > 0:
-            _wait_for_quiet(max_wait_s=120)
+        # attempt 0 included: the headline stage just pushed loadavg far
+        # above idle, and an attempt started at load ~25 is a wasted
+        # measurement (seen in practice: 12.3 s/round at load 26 vs 7.5
+        # at load 4 for the identical build)
+        _wait_for_quiet(max_wait_s=120)
         load0 = os.getloadavg()[0]
         eng = CrawlEngine(spark, spec, pages_df, robots_df,
                           shuffle_partitions=16)

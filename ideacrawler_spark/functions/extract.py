@@ -243,8 +243,9 @@ def _build_tree(html: bytes | str) -> _MiniNode:
 
 
 _RX_XPATH_STEP = re.compile(
-    r"^([A-Za-z][\w-]*|\*)(?:\[(.+)\])?$"        # tag or *, optional [pred]
+    r"^([A-Za-z][\w-]*|\*)((?:\[[^\]]+\])*)$"    # tag or *, 0+ [pred]s
 )
+_RX_PREDS = re.compile(r"\[([^\]]+)\]")
 # predicate forms: [@attr='v']  [n]  [contains(@attr,'v')]
 #                  [contains(text(),'v')]
 _RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)=(['\"])(.*?)\2$")
@@ -274,12 +275,14 @@ def _parse_pred(pred: str):
 def _parse_xpath(path: str):
     """Location path → (steps, terminal) or None outside the subset.
 
-    steps = [(descendant_axis, tag, pred), ...] with pred from
-    ``_parse_pred`` (at most one per step). terminal selects what the
-    LAST path component extracts: None (element string value),
-    ("text",) for a trailing ``text()``, or ("attr", name) for a
-    trailing ``@name`` — the antchfx node kinds real callback specs use
-    (job.go:233-269 evaluates arbitrary antchfx xpath)."""
+    steps = [(descendant_axis, tag, preds), ...] with preds a list from
+    ``_parse_pred``, applied IN ORDER (so ``//a[@class='x'][2]`` filters
+    by class, then takes the 2nd survivor per parent — standard XPath
+    predicate chaining). terminal selects what the LAST path component
+    extracts: None (element string value), ("text",) for a trailing
+    ``text()``, or ("attr", name) for a trailing ``@name`` — the antchfx
+    node kinds real callback specs use (job.go:233-269 evaluates
+    arbitrary antchfx xpath)."""
     if not path.startswith("/"):
         return None
     parts = path.split("/")
@@ -307,12 +310,13 @@ def _parse_xpath(path: str):
         m = _RX_XPATH_STEP.match(p)
         if m is None:
             return None
-        pred = None
-        if m.group(2) is not None:
-            pred = _parse_pred(m.group(2))
+        preds = []
+        for raw in _RX_PREDS.findall(m.group(2) or ""):
+            pred = _parse_pred(raw)
             if pred is None:
                 return None
-        steps.append((descendant, m.group(1).lower(), pred))
+            preds.append(pred)
+        steps.append((descendant, m.group(1).lower(), preds))
         descendant = False
         idx += 1
     if not steps:
@@ -333,32 +337,34 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
     ``descendant-or-self::node()/child::p[position()=2]``); results are
     returned in document order (pre-order over the tree)."""
     current = [root]
-    for descendant, tag, pred in steps:
-        pos = pred[1] if pred and pred[0] == "pos" else None
+    for descendant, tag, preds in steps:
 
-        def match(c):
-            if tag != "*" and c.tag != tag:
-                return False
-            if pred is None or pred[0] == "pos":
-                return True
+        def filt(kids, pred):
+            if pred[0] == "pos":
+                return [kids[pred[1] - 1]] if len(kids) >= pred[1] else []
             if pred[0] == "attr_eq":
-                return (c.attrs.get(pred[1]) or "") == pred[2]
+                return [c for c in kids
+                        if (c.attrs.get(pred[1]) or "") == pred[2]]
             if pred[0] == "contains_attr":
-                return pred[2] in (c.attrs.get(pred[1]) or "")
+                return [c for c in kids
+                        if pred[2] in (c.attrs.get(pred[1]) or "")]
             if pred[0] == "contains_text":
-                return pred[1] in _node_string_value(c)
-            return False
+                return [c for c in kids
+                        if pred[1] in _node_string_value(c)]
+            return []
 
         selected = set()
         for n in current:
             parents = [n] + (list(_iter_descendants(n)) if descendant else [])
             for parent in parents:
                 kids = [c for c in parent.children
-                        if isinstance(c, _MiniNode) and match(c)]
-                if pos is None:
-                    selected.update(id(c) for c in kids)
-                elif len(kids) >= pos:
-                    selected.add(id(kids[pos - 1]))
+                        if isinstance(c, _MiniNode)
+                        and (tag == "*" or c.tag == tag)]
+                for pred in preds:  # chained, in order (XPath semantics)
+                    kids = filt(kids, pred)
+                    if not kids:
+                        break
+                selected.update(id(c) for c in kids)
         if not selected:
             return []
         current = [c for c in _iter_descendants(root) if id(c) in selected]
@@ -379,35 +385,77 @@ def _node_string_value(node: _MiniNode) -> str:
     return "".join(out)
 
 
+def _split_union(path: str) -> list:
+    """Split a union expression on top-level ``|`` (quote-aware, so a
+    ``contains(@x,'a|b')`` argument never splits)."""
+    parts, cur, q = [], [], None
+    for ch in path:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "|":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _branch_first(nodes, terminal):
+    """(element, value) of the first node a branch selects, or None."""
+    if terminal is None:
+        return (nodes[0], _node_string_value(nodes[0])) if nodes else None
+    if terminal[0] == "text":
+        for n in nodes:
+            for c in n.children:
+                if isinstance(c, str):
+                    return n, c
+        return None
+    for n in nodes:  # ("attr", name): first element carrying it
+        v = n.attrs.get(terminal[1])
+        if v is not None:
+            return n, v
+    return None
+
+
 def xpath_first_value(html: bytes | str | None, path: str) -> str:
     """First-node string value of ``path`` over ``html`` (subset above).
 
     Trailing ``text()`` yields the first text-node child of the first
     matching element that has one; trailing ``@name`` yields the first
     matching element's ``name`` attribute (antchfx node-value semantics:
-    attribute/text nodes value to their own content)."""
+    attribute/text nodes value to their own content). A top-level union
+    (``a | b``) takes the DOCUMENT-ORDER first node across branches; any
+    unsupported branch makes the whole expression unsupported (antchfx
+    compile-error behavior: empty value)."""
     if html is None:
         return ""
-    parsed = _parse_xpath(path.strip())
-    if parsed is None:
-        return ""
-    steps, terminal = parsed
-    nodes = _eval_xpath(_build_tree(html), steps)
-    if not nodes:
-        return ""
-    if terminal is None:
-        return _node_string_value(nodes[0])
-    if terminal[0] == "text":
-        for n in nodes:
-            for c in n.children:
-                if isinstance(c, str):
-                    return c
-        return ""
-    for n in nodes:  # ("attr", name): first element carrying it
-        v = n.attrs.get(terminal[1])
-        if v is not None:
-            return v
-    return ""
+    branches = []
+    for b in _split_union(path.strip()):
+        parsed = _parse_xpath(b.strip())
+        if parsed is None:
+            return ""
+        branches.append(parsed)
+    root = _build_tree(html)
+    if len(branches) == 1:
+        steps, terminal = branches[0]
+        hit = _branch_first(_eval_xpath(root, steps), terminal)
+        return hit[1] if hit else ""
+    order = {id(n): i for i, n in enumerate(_iter_descendants(root))}
+    best = None
+    for steps, terminal in branches:
+        hit = _branch_first(_eval_xpath(root, steps), terminal)
+        if hit is None:
+            continue
+        key = order.get(id(hit[0]), -1)  # root itself sorts first
+        if best is None or key < best[0]:
+            best = (key, hit[1])
+    return best[1] if best else ""
 
 
 def xpath_all_equal(html, pairs) -> bool:

@@ -214,3 +214,32 @@ def test_xpath_text_attr_contains():
     assert x(h, "//a[contains(@class)]") == ""
     assert x(h, "//a/text") == ""
     assert x(h, "//@href") == ""                     # descendant @ unsupported
+
+
+def test_xpath_unions_and_chained_predicates():
+    """Unions take the document-order first node ACROSS branches; chained
+    predicates filter in order ([@a='v'][n] = n-th among the filtered)."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><head><title>T</title>"
+         b'<meta name="a" content="ma"></head><body>'
+         b'<p class="k">p1</p><p class="k">p2</p><p>p3</p>'
+         b'<span id="s">sp</span>'
+         b"</body></html>")
+    # union: title comes before span in document order
+    assert x(h, "//span | //title") == "T"
+    assert x(h, "//nosuch | //span") == "sp"
+    assert x(h, "//span | //nosuch") == "sp"
+    assert x(h, "//nosuch | //alsonothing") == ""
+    # union across terminal kinds: meta precedes p
+    assert x(h, "//p/text() | //meta/@content") == "ma"
+    # one unsupported branch poisons the whole expression (compile error)
+    assert x(h, "//span | //span[position()=1]") == ""
+    # quote-aware split: the '|' inside contains() is literal
+    assert x(h, "//p[contains(text(),'p1|x')]") == ""
+    # chained predicates: filter by class, THEN position among survivors
+    assert x(h, "//p[@class='k'][2]") == "p2"
+    assert x(h, "//p[@class='k'][1]") == "p1"
+    assert x(h, "//p[@class='k'][3]") == ""   # only two k-classed p's
+    assert x(h, "//p[2][@class='k']") == "p2"  # pos first, then filter
+    assert x(h, "//p[contains(text(),'p')][contains(@class,'k')][2]") == "p2"
