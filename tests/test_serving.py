@@ -184,3 +184,76 @@ def test_served_addpages_unknown_job_404(spark, web_dfs):
         conn.close()
     finally:
         srv.stop()
+
+
+def test_pyclient_surface_matches_golden(spark, web, web_dfs):
+    """The client module (ideacrawler_spark/client.py — the reference
+    pyclient surface re-created over HTTP): configure → start() →
+    per-page callback on a worker thread → join; shipped pages equal the
+    simulator golden; status endpoint reports; stop() cancels."""
+    from ideacrawler_spark.client import CrawlJob as ClientJob
+
+    pages, robots, _, _ = web
+    pages_df, robots_df, _, _ = web_dfs
+    srv = CrawlServer(spark, pages_df, robots_df).start()
+    try:
+        got_cb = []
+        job = ClientJob(svr_host="127.0.0.1", svr_port=srv.port,
+                        seed_url="http://hosta.example/p/0",
+                        callback=lambda ph, cc: got_cb.append(ph),
+                        job_id="pyc-golden", min_delay=1,
+                        round_seconds=10, max_concurrent_requests=5,
+                        max_rounds=12)
+        job.start()
+        assert job.is_alive() or job.status_msg == "done"
+        st = job.status()
+        assert st.get("job_id") == "pyc-golden"
+        job.join(600)
+        assert job.status_msg == "done" and job.rounds > 1
+        golden = simulate(JobSpec(job_id="pyc-golden",
+                                  seed_url="http://hosta.example/p/0",
+                                  min_delay_s=1, round_seconds=10,
+                                  max_concurrent=5, max_rounds=12),
+                          pages, robots, None)
+        want = sorted((s["fetch_seq"], s["url"], s["text"])
+                      for s in golden.shipped)
+        assert sorted((p.fetch_seq, p.url, p.content)
+                      for p in job.pages) == want
+        # the callback worker saw every page too (drained before join ends)
+        assert sorted((p.fetch_seq, p.url) for p in got_cb) == \
+            sorted((w[0], w[1]) for w in want)
+    finally:
+        srv.stop()
+
+
+def test_pyclient_addpage_and_stop(spark, web_dfs):
+    """add_page before start rides registration as a round-0 push;
+    stop() cancels a live job at a round boundary."""
+    from ideacrawler_spark.client import CrawlJob as ClientJob
+
+    pages_df, robots_df, _, _ = web_dfs
+    srv = CrawlServer(spark, pages_df, robots_df).start()
+    try:
+        job = ClientJob(svr_host="127.0.0.1", svr_port=srv.port,
+                        seed_url="http://hosta.example/p/0",
+                        job_id="pyc-stop", min_delay=1, round_seconds=10,
+                        max_concurrent_requests=1, max_rounds=30)
+        job.add_page("http://hostc.example/p/0", meta_str="early")
+        job.start()
+        # cancel only after round 0 shipped (a cancel that lands before
+        # the first round boundary legitimately yields an empty crawl)
+        import time
+        for _ in range(600):
+            if job.pages or not job.is_alive():
+                break
+            time.sleep(0.1)
+        out = job.stop()
+        assert out.get("cancelled") is True
+        job.join(600)
+        # the pre-start push shipped (pushes bypass domain filter)
+        assert any(p.url == "http://hostc.example/p/0" and p.meta == "early"
+                   for p in job.pages)
+        # cancelled before the full crawl drained
+        assert job.rounds < 30
+    finally:
+        srv.stop()
