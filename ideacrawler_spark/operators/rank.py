@@ -30,17 +30,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+SMALL_RANK_ROWS = 131072  # single-task sort is cheaper below this
+
+
 def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
                 offset: int = 0, num_partitions: int | None = None,
-                track: list | None = None) -> DataFrame:
+                track: list | None = None,
+                small_hint: int | None = None) -> DataFrame:
     """Add ``out_col`` = offset + dense 0-based rank of the row in the total
     order given by ``order_cols`` (must be a strict total order).
 
     ``track``: optional list the internal persisted frame is appended to,
     so long-running callers (the crawl round loop) can unpersist it once
     the round's outputs are materialized — otherwise the cache pins
-    memory for the session."""
+    memory for the session.
+
+    ``small_hint``: a caller-KNOWN upper bound on the row count (e.g. the
+    round's admission budget). When it proves the input fits in one task
+    (≤ SMALL_RANK_ROWS), rank via a single-exchange window instead —
+    ``repartitionByRange`` costs a range-SAMPLING job plus a shuffle,
+    pure overhead for small-bounded rounds, and the single partition does
+    not strangle downstream parallelism because the next operator is a
+    broadcast join whose output follows the big side's partitioning. At
+    the 10^10-URL target the budget bound exceeds the threshold and the
+    scalable path runs unchanged; this is an adaptive switch on a proven
+    bound, never a guess from sampled stats."""
     cols = [F.col(c) for c in order_cols]
+    if small_hint is not None and small_hint <= SMALL_RANK_ROWS:
+        w = Window.orderBy(*cols)
+        return df.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + F.lit(offset)).cast("long"))
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *cols)
     else:

@@ -150,12 +150,19 @@ def run_round(
         "_allowed", "crawl_delay", "rules")
 
     # ---- deterministic fetch order (the crawl-order golden) --------------
+    # proven row bound: admitted ≤ min(pending, global budget) — lets
+    # global_rank skip the range-sampling job + shuffle on small rounds
+    admit_bound = None
+    if n_pending is not None:
+        admit_bound = n_pending if global_budget is None \
+            else min(n_pending, global_budget)
     _rank_caches: list = []
     fetchable = global_rank(
         fetchable, ["depth", "seq"], out_col="fetch_seq",
         offset=fetch_seq_offset,
         num_partitions=shuffle_partitions,
         track=_rank_caches,
+        small_hint=admit_bound,
     )
 
     # ---- "fetch" = equi-join against the simulated web -------------------

@@ -113,3 +113,29 @@ def test_blocklist_suffix_and_url_signals(spark):
     assert (r["n_host_digits"], r["path_depth"], r["n_params"]) == (4, 4, 1)
     assert out["cdn.tracker.example"]["n_params"] == 2
     assert out["tracker.example"]["n_params"] == 0
+
+
+def test_global_rank_small_hint_equivalence(spark):
+    """The single-exchange small path (a proven row-count bound skips the
+    range-sampling job + shuffle) produces the SAME ranks and the SAME
+    long dtype as the scalable path; a bound above the threshold keeps
+    the scalable path."""
+    from ideacrawler_spark.operators.rank import SMALL_RANK_ROWS, global_rank
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).cast("int").alias("depth"),
+        (F.col("id") * 37 % 3000).alias("seq"),
+    )
+    big = global_rank(df, ["depth", "seq"], out_col="r", offset=5,
+                      num_partitions=8).orderBy("depth", "seq")
+    small = global_rank(df, ["depth", "seq"], out_col="r", offset=5,
+                        num_partitions=8, small_hint=3000
+                        ).orderBy("depth", "seq")
+    assert dict(small.dtypes)["r"] == "bigint"
+    assert [r["r"] for r in big.collect()] == \
+        [r["r"] for r in small.collect()] == list(range(5, 3005))
+    # a hint above the threshold must NOT collapse to one partition
+    over = global_rank(df, ["depth", "seq"], out_col="r",
+                       num_partitions=8, small_hint=SMALL_RANK_ROWS + 1)
+    plan = over._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
