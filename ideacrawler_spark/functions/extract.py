@@ -250,6 +250,7 @@ _RX_PREDS = re.compile(r"\[([^\]]+)\]")
 #                  [contains(text(),'v')]
 _RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)=(['\"])(.*?)\2$")
 _RX_PRED_POS = re.compile(r"^(\d+)$")
+_RX_PRED_POSITION_EQ = re.compile(r"^position\(\)\s*=\s*(\d+)$")
 _RX_PRED_CONTAINS = re.compile(
     r"^contains\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
 
@@ -260,7 +261,7 @@ def _parse_pred(pred: str):
     m = _RX_PRED_ATTR_EQ.match(pred)
     if m:
         return ("attr_eq", m.group(1), m.group(3))
-    m = _RX_PRED_POS.match(pred)
+    m = _RX_PRED_POS.match(pred) or _RX_PRED_POSITION_EQ.match(pred)
     if m:
         n = int(m.group(1))
         return ("pos", n) if n >= 1 else None  # XPath positions are 1-based

@@ -155,7 +155,8 @@ def test_xpath_subset_vectors():
     assert x(h, "//nosuch") == ""
     assert x(h, "//div[@class='nope']") == ""
     assert x(h, "not-an-xpath") == ""
-    assert x(h, "//div[position()=2]") == ""         # outside subset
+    assert x(h, "//div[position()=2]") == "side text"  # = //div[2]
+    assert x(h, "//div[last()]") == ""               # outside subset
     assert x(None, "//title") == ""
     # untrimmed string values (strings.TrimSpace is NOT applied)
     assert x(b"<p>  padded  </p>", "//p") == "  padded  "
@@ -233,8 +234,10 @@ def test_xpath_unions_and_chained_predicates():
     assert x(h, "//nosuch | //alsonothing") == ""
     # union across terminal kinds: meta precedes p
     assert x(h, "//p/text() | //meta/@content") == "ma"
+    # position()=n is sugar for [n]
+    assert x(h, "//p[position()=2]") == "p2"
     # one unsupported branch poisons the whole expression (compile error)
-    assert x(h, "//span | //span[position()=1]") == ""
+    assert x(h, "//span | //span[last()]") == ""
     # quote-aware split: the '|' inside contains() is literal
     assert x(h, "//p[contains(text(),'p1|x')]") == ""
     # chained predicates: filter by class, THEN position among survivors
