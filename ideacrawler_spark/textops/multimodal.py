@@ -1,13 +1,15 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested. REAL decoders are implemented for the two
-container formats the stdlib can parse without media libraries: WAV
-(RIFF chunk walk + PCM samples) and BMP (BITMAPINFOHEADER + 24bpp pixel
-rows) — ``decode_wav`` / ``decode_bmp`` below parse actual bytes with
-``struct``/numpy, never trusting metadata columns. Formats that genuinely
-need a media library (mp4/png/jpeg...) fall back to the clearly-marked
-``_fake_decode`` stub — swap it for PIL/ffmpeg on a real cluster.
+signatures) is real and tested, and so are the decoders for the common
+web formats — all stdlib+numpy, no media libraries, parsing actual bytes
+and never trusting metadata columns: WAV (RIFF chunk walk + PCM16), BMP
+(BITMAPINFOHEADER + 24bpp rows), PNG (zlib inflate + filters 0-4,
+``decode_png``), mp4 container metadata (ISO-BMFF box walk,
+``decode_mp4``), and baseline JPEG (full entropy decode + IDCT,
+textops/jpeg.py via ``decode_jpeg_features``). Only exotic formats and
+frame-level video decode fall back to the clearly-marked ``_fake_decode``
+stub — swap it for PIL/ffmpeg on a real cluster.
 
 Pattern: ``mapInPandas`` over an iterator of Arrow batches so one task
 never materializes more than one batch of binary payloads — the shape that
@@ -375,6 +377,28 @@ def make_mp4(w: int, h: int, duration_ms: int, data: bytes) -> bytes:
     return ftyp + moov + box(b"mdat", data)
 
 
+def decode_jpeg_features(payload: bytes) -> Optional[dict]:
+    """Baseline-JPEG decode (textops/jpeg.py — full stdlib+numpy entropy
+    decode, IDCT, color convert) mapped to the shared feature layout:
+    dims + RGB channel means + max/min, like decode_png."""
+    from ideacrawler_spark.textops.jpeg import decode_jpeg
+
+    d = decode_jpeg(payload)
+    if d is None:
+        return None
+    rgb = d["rgb"].astype(np.float64)
+    feat = np.zeros(8, dtype=np.float32)
+    feat[0], feat[1] = float(d["width"]), float(d["height"])
+    feat[2:5] = rgb.mean(axis=(0, 1)).astype(np.float32)  # R, G, B
+    feat[5] = float(rgb.max())
+    feat[6] = float(rgb.min())
+    feat[7] = 3.0
+    return dict(
+        dec_width=int(d["width"]), dec_height=int(d["height"]),
+        dec_duration_ms=None, dec_nsamples=None, feat=feat,
+    )
+
+
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """STUB: deterministic stand-in for a real decoder (PIL/librosa/ffmpeg
     are not installed here). Produces an 8-dim float feature from payload
@@ -403,7 +427,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             for p, k in zip(pdf["payload"], pdf["kind"]):
                 try:
                     dec = (decode_bmp(p) or decode_wav(p) or decode_png(p)
-                           or decode_mp4(p))
+                           or decode_mp4(p) or decode_jpeg_features(p))
                 except Exception:
                     # belt-and-braces: a malformed payload must degrade to
                     # the stub path, never fail the whole Spark task

@@ -563,3 +563,110 @@ def test_mp4_decoder_roundtrip(spark):
         i = r["media_id"]
         assert (r["dec_width"], r["dec_height"], r["dec_duration_ms"]) == \
             (16 + i % 9, 9 + i % 7, (i % 20 + 1) * 10)
+
+
+def test_jpeg_codec_roundtrip(spark):
+    """Baseline JPEG codec (textops/jpeg.py): DCT pinned against a naive
+    O(n^4) transform, solid-color images decode EXACTLY (DC-only path —
+    an asymmetric probe that shared encoder/decoder mistakes cannot
+    fake), gradients roundtrip with small error, 4:2:0 subsampled
+    streams decode, truncation/progressive rejected, and JPEG payloads
+    flow through extract_features with real dims."""
+    import struct
+
+    import numpy as np
+
+    from ideacrawler_spark.textops import jpeg as J
+    from ideacrawler_spark.textops.multimodal import (
+        MEDIA_SCHEMA, extract_features,
+    )
+
+    rng = np.random.RandomState(3)
+    b = rng.randint(0, 256, (8, 8)).astype(np.float64)
+    naive = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = sum(
+                b[x, y] * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for x in range(8) for y in range(8))
+            cu = np.sqrt(0.125) if u == 0 else 0.5
+            cv = np.sqrt(0.125) if v == 0 else 0.5
+            naive[u, v] = cu * cv * s
+    assert np.abs(J.dct2(b) - naive).max() < 1e-9
+    # solid color: exact through quantization (DC-only)
+    img = np.full((16, 24, 3), 130, dtype=np.uint8)
+    d = J.decode_jpeg(J.make_jpeg(img, quality=90))
+    assert (d["width"], d["height"]) == (24, 16)
+    assert np.abs(d["rgb"].astype(int) - 130).max() <= 2
+    # gradient roundtrip, odd dims (edge-padding path)
+    h, w = 19, 27
+    img = np.fromfunction(
+        lambda y, x, c: (x * 4 + y * 5 + c * 40) % 256, (h, w, 3)
+    ).astype(np.uint8)
+    jp = J.make_jpeg(img, quality=92)
+    d = J.decode_jpeg(jp)
+    assert d["rgb"].shape == (h, w, 3)
+    assert np.abs(d["rgb"].astype(float) - img.astype(float)).mean() < 12
+    # 4:2:0: hand-build a subsampled stream with the module's primitives
+    h2 = w2 = 16
+    y_pl = np.fromfunction(lambda y, x: (x * 7 + y * 3) % 256, (h2, w2))
+    ql = J._quality_scale(J.QUANT_LUMA, 90).reshape(8, 8)
+    qc = J._quality_scale(J.QUANT_CHROMA, 90).reshape(8, 8)
+    dc_l = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_l = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dc_c = J._build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_c = J._build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+    wr = J._BitWriter()
+    pred = [0, 0, 0]
+    for my in range(1):          # one 16x16 MCU
+        for v in range(2):
+            for hh in range(2):  # 4 Y blocks
+                blk = y_pl[v * 8:v * 8 + 8, hh * 8:hh * 8 + 8] - 128.0
+                zz = np.rint(J.dct2(blk) / ql).astype(np.int64)
+                J._encode_block(wr, zz.reshape(64)[J.ZIGZAG], pred, 0,
+                                dc_l, ac_l)
+        for ci, q in ((1, qc), (2, qc)):  # flat chroma, 8x8 each
+            zz = np.rint(J.dct2(np.zeros((8, 8))) / q).astype(np.int64)
+            J._encode_block(wr, zz.reshape(64)[J.ZIGZAG], pred, ci,
+                            dc_c, ac_c)
+    wr.flush()
+
+    def seg(marker, body):
+        return b"\xFF" + bytes([marker]) + \
+            struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq, q):
+        return seg(0xDB, bytes([tq]) + bytes(
+            int(q.reshape(64)[J.ZIGZAG[i]]) for i in range(64)))
+
+    jp420 = (b"\xFF\xD8" + dqt(0, ql) + dqt(1, qc)
+             + seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS)
+                   + bytes(J.DC_LUMA_VALS))
+             + seg(0xC4, bytes([0x10]) + bytes(J.AC_LUMA_BITS)
+                   + bytes(J.AC_LUMA_VALS))
+             + seg(0xC4, bytes([0x01]) + bytes(J.DC_CHROMA_BITS)
+                   + bytes(J.DC_CHROMA_VALS))
+             + seg(0xC4, bytes([0x11]) + bytes(J.AC_CHROMA_BITS)
+                   + bytes(J.AC_CHROMA_VALS))
+             + seg(0xC0, struct.pack(">BHHB", 8, h2, w2, 3)
+                   + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+             + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+             + bytes(wr.out) + b"\xFF\xD9")
+    d420 = J.decode_jpeg(jp420)
+    assert d420 is not None and d420["rgb"].shape == (16, 16, 3)
+    # luma survives the roundtrip (chroma flat => rgb ~ y per channel)
+    got_y = d420["rgb"].astype(float).mean(axis=2)
+    assert np.abs(got_y - y_pl).mean() < 12
+    # rejection
+    assert J.decode_jpeg(jp[:20]) is None
+    assert J.decode_jpeg(jp[:len(jp) // 2]) is None
+    assert J.decode_jpeg(b"\xFF\xD8\xFF\xC2" + jp[4:]) is None  # SOF2
+    assert J.decode_jpeg(bytes(64)) is None
+    # through the Spark surface: sniffed and really decoded
+    media = spark.createDataFrame(
+        [dict(media_id=0, kind="image", payload=jp, mime="image/jpeg",
+              width=w, height=h, duration_ms=None)], MEDIA_SCHEMA)
+    row = extract_features(media).first()
+    assert (row["dec_width"], row["dec_height"]) == (w, h)
+    assert abs(row["feat"][2] - img[:, :, 0].mean()) < 4  # R mean
