@@ -105,7 +105,11 @@ def decode_bmp(payload: bytes) -> Optional[dict]:
         return None  # truncated pixel data
     px = np.frombuffer(payload, dtype=np.uint8, count=stride * rows,
                        offset=data_off).reshape(rows, stride)
-    bgr = px[:, : 3 * w].reshape(rows, w, 3).astype(np.float64)
+    bgr_u8 = px[:, : 3 * w].reshape(rows, w, 3)
+    # file rows are bottom-up when h > 0: flip to image orientation; and
+    # BGR → RGB for the pixel consumer (resize path)
+    rgb_img = (bgr_u8[::-1] if h > 0 else bgr_u8)[:, :, ::-1].copy()
+    bgr = bgr_u8.astype(np.float64)
     feat = np.zeros(8, dtype=np.float32)
     feat[0], feat[1] = float(w), float(rows)
     feat[2:5] = bgr.mean(axis=(0, 1)).astype(np.float32)  # B, G, R means
@@ -115,6 +119,7 @@ def decode_bmp(payload: bytes) -> Optional[dict]:
     return dict(
         dec_width=int(w), dec_height=int(rows),
         dec_duration_ms=None, dec_nsamples=None, feat=feat,
+        rgb=rgb_img,
     )
 
 
@@ -211,7 +216,8 @@ def decode_png(payload: bytes) -> Optional[dict]:
             return None  # invalid filter type
         out[y] = rec.astype(np.uint8)
         prev = rec
-    rgb = out.reshape(h, w, nch).astype(np.float64)
+    px_img = out.reshape(h, w, nch)
+    rgb = px_img.astype(np.float64)
     feat = np.zeros(8, dtype=np.float32)
     feat[0], feat[1] = float(w), float(h)
     feat[2:5] = rgb[:, :, :3].mean(axis=(0, 1)).astype(np.float32)  # R, G, B
@@ -221,6 +227,7 @@ def decode_png(payload: bytes) -> Optional[dict]:
     return dict(
         dec_width=int(w), dec_height=int(h),
         dec_duration_ms=None, dec_nsamples=None, feat=feat,
+        rgb=px_img[:, :, :3].copy(),
     )
 
 
@@ -468,11 +475,27 @@ RESIZED_SCHEMA = (
 )
 
 
+def _decode_rgb(payload: bytes) -> Optional[np.ndarray]:
+    """(h, w, 3) uint8 pixels from any decodable image payload."""
+    try:
+        d = decode_bmp(payload) or decode_png(payload)
+        if d is not None:
+            return d.get("rgb")
+        from ideacrawler_spark.textops.jpeg import decode_jpeg
+
+        j = decode_jpeg(payload)
+        return j["rgb"] if j is not None else None
+    except Exception:  # noqa: BLE001 — undecodable ⇒ pass-through
+        return None
+
+
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image-resize plumbing: aspect-preserving target dims computed
-    JVM-side; the pixel work is a STUB (no image lib here — swap the
-    body of ``batches`` for PIL's ``Image.resize`` in production). The
-    payload passes through untouched so byte-accounting stays testable."""
+    """REAL image resize: aspect-preserving target dims computed JVM-side
+    (from the metadata columns, so pruning/pushdown still work), then the
+    Arrow-batched UDF decodes the actual bytes (BMP/PNG/JPEG), resamples
+    with nearest-neighbor, and re-encodes losslessly as PNG. Undecodable
+    payloads pass through untouched (the prior stub behavior, now the
+    fallback only)."""
     imgs = media.filter(F.col("kind") == "image").select(
         "media_id", "width", "height", "payload",
         F.least(F.col("width"), F.lit(max_side)).alias("out_w"),
@@ -482,9 +505,26 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # STUB: real impl decodes + resamples; plumbing keeps payload
-            yield pdf[["media_id", "width", "height", "out_w", "out_h",
-                       "payload"]]
+            payloads = []
+            for p, ow, oh in zip(pdf["payload"], pdf["out_w"],
+                                 pdf["out_h"]):
+                rgb = _decode_rgb(p)
+                if rgb is None or not ow or not oh or ow <= 0 or oh <= 0:
+                    payloads.append(p)
+                    continue
+                ry = np.minimum(
+                    (np.arange(int(oh)) * rgb.shape[0]) // int(oh),
+                    rgb.shape[0] - 1)
+                rx = np.minimum(
+                    (np.arange(int(ow)) * rgb.shape[1]) // int(ow),
+                    rgb.shape[1] - 1)
+                out = np.ascontiguousarray(rgb[ry][:, rx])
+                payloads.append(make_png(out))
+            out_pdf = pdf[["media_id", "width", "height",
+                           "out_w", "out_h"]].copy()
+            out_pdf["payload"] = payloads
+            yield out_pdf[["media_id", "width", "height", "out_w",
+                           "out_h", "payload"]]
 
     return imgs.mapInPandas(batches, schema=RESIZED_SCHEMA)
 

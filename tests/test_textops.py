@@ -670,3 +670,39 @@ def test_jpeg_codec_roundtrip(spark):
     row = extract_features(media).first()
     assert (row["dec_width"], row["dec_height"]) == (w, h)
     assert abs(row["feat"][2] - img[:, :, 0].mean()) < 4  # R mean
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images now really decodes, resamples, and re-encodes: the
+    output payload is a PNG with exactly (out_w, out_h) pixels and
+    approximately preserved channel means; undecodable payloads pass
+    through untouched."""
+    import numpy as np
+
+    from ideacrawler_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_png, make_bmp, make_png, resize_images,
+    )
+
+    big = np.fromfunction(
+        lambda y, x, c: (x // 2 + c * 50) % 256, (40, 60, 3)
+    ).astype(np.uint8)
+    rows = [
+        dict(media_id=0, kind="image", payload=make_bmp(big[:, :, ::-1]),
+             mime="image/bmp", width=60, height=40, duration_ms=None),
+        dict(media_id=1, kind="image", payload=make_png(big),
+             mime="image/png", width=60, height=40, duration_ms=None),
+        dict(media_id=2, kind="image", payload=b"not an image at all!",
+             mime="image/gif", width=60, height=40, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           resize_images(media, max_side=30).collect()}
+    for mid in (0, 1):
+        r = out[mid]
+        assert (r["out_w"], r["out_h"]) == (30, 20)
+        d = decode_png(bytes(r["payload"]))
+        assert (d["dec_width"], d["dec_height"]) == (30, 20)
+        # nearest-neighbor resample preserves channel means closely
+        assert np.abs(np.array(d["feat"][2:5])
+                      - big.mean(axis=(0, 1))).max() < 3
+    assert bytes(out[2]["payload"]) == b"not an image at all!"
