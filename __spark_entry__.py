@@ -810,6 +810,55 @@ def q_pii_scrub(spark, sf_dir):
     return scrub_pii(seeded)
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """The end-to-end training-data pipeline as ONE composed plan:
+    corpus repeated-line removal (C4 rule, 4-word chunk lines) → exact
+    dedup KEEPERS computed on the CLEANED text → quality gates on the
+    cleaned text → deterministic per-language hash sampling. Every stage
+    is the same operator the standalone oracled queries run; the oracle
+    chains the same SQL logic end-to-end, so the whole composition is
+    value-checked, not just its pieces."""
+    from ideacrawler_spark.textops.analysis import quality_score
+    from ideacrawler_spark.textops.dedup import (
+        exact_dedup,
+        remove_repeated_lines,
+    )
+    from ideacrawler_spark.textops.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(w) / F.lit(4)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 4 + 1, 4)),
+    )
+    chunked = docs.select(
+        "doc_id", F.concat_ws("\n", lines_arr).alias("text"))
+    cleaned = remove_repeated_lines(chunked, max_occurrences=1)
+    base = (
+        cleaned.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id", "lang", "source",
+            F.regexp_replace("clean_text", "\n", " ").alias("text"),
+            "n_kept", "n_dropped",
+        )
+    )
+    keepers = exact_dedup(base).filter(~F.col("is_dup")).select("doc_id")
+    q = quality_score(base).select(
+        "doc_id", "n_words", "ttr_x1000", "stop_x1000")
+    gated = (
+        base.join(keepers, "doc_id").join(q, "doc_id")
+        .filter((F.col("n_words") >= 8) & (F.col("ttr_x1000") >= 400)
+                & (F.col("stop_x1000") <= 400))
+    )
+    sampled = stratified_sample(
+        gated, rates={"en": (2, 3), "de": (1, 2), "zh": (1, 4)},
+        default_rate=(1, 8))
+    return sampled.select(
+        "doc_id", "lang", "source", "n_kept", "n_dropped",
+        "n_words", "ttr_x1000", "stop_x1000")
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -876,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "source_stats": q_source_stats,
         "multimodal_features": q_multimodal_features,
+        "pipeline_curation": q_pipeline_curation,
     }
 
 
@@ -1396,6 +1446,70 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(p.c), 0)::INT AS n_grams
             FROM documents d LEFT JOIN per p USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # The composed pipeline: the SAME SQL logic as the standalone
+        # repeated_lines / dedup_exact / quality / stratified_sample
+        # oracles, chained over the CLEANED text end-to-end.
+        "pipeline_curation": """
+            WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            chunk AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                       i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')
+                     ) AS lines
+              FROM w0),
+            lines AS (
+              SELECT doc_id, CAST(pos AS INT) AS pos, lines[pos+1] AS line
+              FROM chunk, unnest(range(0, len(lines))) AS t(pos)),
+            counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN counts c USING (line) WHERE c.n <= 1),
+            tot AS (SELECT doc_id, count(*) AS n_lines
+                    FROM lines GROUP BY doc_id),
+            cleaned AS (
+              SELECT t.doc_id,
+                     coalesce(string_agg(k.line, chr(10) ORDER BY k.pos),
+                              '') AS clean_text,
+                     count(k.line)::INT AS n_kept,
+                     (t.n_lines - count(k.line))::INT AS n_dropped
+              FROM tot t LEFT JOIN kept k USING (doc_id)
+              GROUP BY t.doc_id, t.n_lines),
+            base AS (
+              SELECT c.doc_id, d.lang, d.source,
+                     replace(c.clean_text, chr(10), ' ') AS text,
+                     c.n_kept, c.n_dropped
+              FROM cleaned c JOIN documents d USING (doc_id)),
+            keepers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                         AS keep
+                FROM base) WHERE keep),
+            wq AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+            stops AS (SELECT ['the','a','an','and','or','of','to','in','is',
+                              'it','for','on','with','as','at','by','be',
+                              'this','that','are'] AS sw),
+            q AS (
+              SELECT doc_id, len(ws)::INT AS n_words,
+                     (1000 * len(list_distinct(ws))) // len(ws)
+                       AS ttr_x1000,
+                     (1000 * len(list_filter(ws,
+                        x -> list_contains(sw, lower(x))))) // len(ws)
+                       AS stop_x1000
+              FROM wq, stops)
+            SELECT b.doc_id, b.lang, b.source, b.n_kept, b.n_dropped,
+                   q.n_words, q.ttr_x1000, q.stop_x1000
+            FROM base b JOIN keepers USING (doc_id) JOIN q USING (doc_id)
+            WHERE q.n_words >= 8 AND q.ttr_x1000 >= 400
+              AND q.stop_x1000 <= 400
+              AND CASE b.lang
+                WHEN 'en' THEN (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 3 < 2
+                WHEN 'de' THEN (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 2 < 1
+                WHEN 'zh' THEN (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 4 < 1
+                ELSE (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8 < 1 END
         """,
         # Independent SQL recomputation of the deterministic synth-media
         # formulas (textops/multimodal.py synth_media): images are REAL
