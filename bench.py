@@ -195,7 +195,7 @@ def main():
 
     for q in ("minhash_lsh_pairs", "simhash", "embedding_topk", "ivf_topk",
               "ann_lsh_topk", "langid", "fingerprint", "crawl_order",
-              "budget_admit"):
+              "budget_admit", "pipeline_curation"):
         t0 = time.monotonic()
         run_noop(q)
         queries[q] = round(time.monotonic() - t0, 3)
