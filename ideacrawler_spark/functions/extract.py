@@ -270,6 +270,8 @@ def _parse_pred(pred: str):
         if m.group(1) is not None:
             return ("contains_attr", m.group(1), m.group(3))
         return ("contains_text", m.group(3))
+    if re.match(r"^(?:position\(\)\s*=\s*)?last\(\)$", pred):
+        return ("last",)
     return None
 
 
@@ -343,6 +345,8 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
         def filt(kids, pred):
             if pred[0] == "pos":
                 return [kids[pred[1] - 1]] if len(kids) >= pred[1] else []
+            if pred[0] == "last":
+                return kids[-1:]
             if pred[0] == "attr_eq":
                 return [c for c in kids
                         if (c.attrs.get(pred[1]) or "") == pred[2]]

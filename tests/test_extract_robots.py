@@ -156,7 +156,9 @@ def test_xpath_subset_vectors():
     assert x(h, "//div[@class='nope']") == ""
     assert x(h, "not-an-xpath") == ""
     assert x(h, "//div[position()=2]") == "side text"  # = //div[2]
-    assert x(h, "//div[last()]") == ""               # outside subset
+    assert x(h, "//div[last()]") == "side text"      # last div per parent
+    assert x(h, "//li[last()]") == "two"
+    assert x(h, "//div[name()='x']") == ""           # outside subset
     assert x(None, "//title") == ""
     # untrimmed string values (strings.TrimSpace is NOT applied)
     assert x(b"<p>  padded  </p>", "//p") == "  padded  "
@@ -236,8 +238,10 @@ def test_xpath_unions_and_chained_predicates():
     assert x(h, "//p/text() | //meta/@content") == "ma"
     # position()=n is sugar for [n]
     assert x(h, "//p[position()=2]") == "p2"
+    # last() chains like any predicate
+    assert x(h, "//p[@class='k'][last()]") == "p2"
     # one unsupported branch poisons the whole expression (compile error)
-    assert x(h, "//span | //span[last()]") == ""
+    assert x(h, "//span | //span[name()='x']") == ""
     # quote-aware split: the '|' inside contains() is literal
     assert x(h, "//p[contains(text(),'p1|x')]") == ""
     # chained predicates: filter by class, THEN position among survivors
