@@ -706,3 +706,47 @@ def test_resize_images_real_pixels(spark):
         assert np.abs(np.array(d["feat"][2:5])
                       - big.mean(axis=(0, 1))).max() < 3
     assert bytes(out[2]["payload"]) == b"not an image at all!"
+
+
+def test_media_decoders_never_raise_fuzz():
+    """Seeded fuzz over every media decoder: truncated, bit-flipped, and
+    garbage-spliced variants of valid payloads (plus pure noise) must
+    decode to None or a dict — never raise (one malformed payload must
+    not fail a whole Spark task)."""
+    import numpy as np
+
+    from ideacrawler_spark.textops.jpeg import make_jpeg
+    from ideacrawler_spark.textops.multimodal import (
+        decode_bmp, decode_jpeg_features, decode_mp4, decode_png,
+        decode_wav, make_bmp, make_mp4, make_png, make_wav,
+    )
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    valid = [
+        make_bmp(img), make_wav(list(range(100))), make_png(img),
+        make_png(img, compress=False, zero_crc=True),
+        make_mp4(12, 8, 500, bytes(40)), make_jpeg(img),
+    ]
+    decoders = [decode_bmp, decode_wav, decode_png, decode_mp4,
+                decode_jpeg_features]
+    for v in valid:
+        for _ in range(40):
+            b = bytearray(v)
+            mode = rng.randint(3)
+            if mode == 0 and len(b) > 4:
+                b = b[:rng.randint(1, len(b))]
+            elif mode == 1:
+                for _ in range(rng.randint(1, 8)):
+                    b[rng.randint(len(b))] = rng.randint(256)
+            else:
+                i = rng.randint(len(b))
+                b = b[:i] + bytes(
+                    rng.randint(0, 256, rng.randint(1, 40)).tolist()) + b[i:]
+            for dec in decoders:
+                out = dec(bytes(b))
+                assert out is None or isinstance(out, dict)
+    for _ in range(60):
+        b = bytes(rng.randint(0, 256, rng.randint(0, 300)).tolist())
+        for dec in decoders:
+            assert dec(b) is None or isinstance(dec(b), dict)
