@@ -354,6 +354,36 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_load(spark, sf_dir, "embeddings"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation — recall@5 of the LSH-bucketed approximate
+    top-k against the brute-force exact top-k, per query: the metric a
+    production ANN deployment monitors. Both inputs are the same
+    (individually oracled) operators; output is exact integers."""
+    from ideacrawler_spark.textops.similarity import (
+        cosine_topk_bruteforce,
+        lsh_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, n_queries=5, k=5).select(
+        "query_id", "neighbor_id")
+    approx = lsh_topk(emb, k=5).select(
+        F.col("vec_id").alias("query_id"), "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("k"))
+        .join(hits, "query_id", "left")
+        .select("query_id", "k",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                .alias("n_hits"))
+    )
+
+
 def q_embedding_near_dup_banded(spark, sf_dir):
     from ideacrawler_spark.textops.similarity import near_dup_pairs_banded
 
@@ -904,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
         "curation": q_curation,
         "langid": q_langid,
         "quality": q_quality,
@@ -931,6 +962,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     dotq = _DOTQ_SQL
+    d = _oracle_sql_base(dotq)
+    # ANN recall@5: composed from the two independently-oracled top-k
+    # queries (the LSH one re-ranked to k=5), so the evaluation metric a
+    # production ANN deployment monitors is itself value-checked.
+    lsh5 = d["ann_lsh_topk"].replace("QUALIFY rank <= 3",
+                                     "QUALIFY rank <= 5")
+    d["ann_recall"] = f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({d["embedding_topk"]})),
+        approx AS (
+          SELECT vec_id AS query_id, neighbor_id FROM ({lsh5})),
+        hits AS (
+          SELECT query_id, count(*)::INT AS n_hits
+          FROM (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+          GROUP BY query_id)
+        SELECT q.query_id, q.k, coalesce(h.n_hits, 0)::INT AS n_hits
+        FROM (SELECT query_id, count(*)::INT AS k
+              FROM exact GROUP BY query_id) q
+        LEFT JOIN hits h USING (query_id)
+    """
+    return d
+
+
+def _oracle_sql_base(dotq) -> dict[str, str]:
     return {
         "crawl_order": f"""
             WITH frontier AS ({_FRONTIER_SQL})
