@@ -895,7 +895,22 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(spark, n_png=16, n_mp4=16)).select(
         "media_id", "kind", "n_bytes", "checksum",
         "dec_width", "dec_height", "dec_duration_ms", "dec_nsamples",
+        "dec_status",
     )
+
+
+def q_frame_features(spark, sf_dir):
+    """Sampled-frame decode over MJPEG-in-MP4 videos: the engine parses
+    stts/stsz/stco sample tables from the container BYTES, slices each
+    sampled frame out of mdat and decodes it with the baseline-JPEG
+    decoder; the oracle re-derives dims/channel-means arithmetically
+    (solid-gray frames chosen to decode bit-exactly)."""
+    from ideacrawler_spark.textops.multimodal import frame_sample, synth_media
+
+    return frame_sample(
+        synth_media(spark, n=0, n_mjpeg=16), every_ms=500
+    ).select("media_id", "ts_ms", "frame_idx", "dec_status",
+             "frame_w", "frame_h", "mean_r", "mean_g", "mean_b")
 
 
 # --------------------------------------------------------------------------
@@ -956,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "source_stats": q_source_stats,
         "multimodal_features": q_multimodal_features,
+        "frame_features": q_frame_features,
         "pipeline_curation": q_pipeline_curation,
     }
 
@@ -1597,7 +1613,8 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                               (i*7 + x*3 + y*5 + c*11) % 256))))))
                      )::BIGINT AS checksum,
                      w::INT AS dec_width, h::INT AS dec_height,
-                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
+                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples,
+                     'real' AS dec_status
               FROM img),
             aud AS (
               SELECT i, ((i % 7 + 1) * 40)::BIGINT AS n
@@ -1618,7 +1635,8 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                      )::BIGINT AS checksum,
                      NULL::INT AS dec_width, NULL::INT AS dec_height,
                      (n * 1000 // 8000)::INT AS dec_duration_ms,
-                     n::INT AS dec_nsamples
+                     n::INT AS dec_nsamples,
+                     'real' AS dec_status
               FROM aud),
             vid_out AS (
               SELECT i::BIGINT AS media_id, 'video' AS kind,
@@ -1626,7 +1644,8 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                      (list_sum(list_transform(range(0, (i % 7 + 1) * 32),
                           j -> (i * 37 + j * 11) % 251)))::BIGINT AS checksum,
                      NULL::INT AS dec_width, NULL::INT AS dec_height,
-                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples
+                     NULL::INT AS dec_duration_ms, NULL::INT AS dec_nsamples,
+                     'stub' AS dec_status
               FROM base WHERE i % 3 = 2)
             SELECT * FROM img_out
             UNION ALL SELECT * FROM aud_out
@@ -1637,7 +1656,8 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             -- whole file — adler32 trailer included — is re-derived here
             -- arithmetically while decode_png inflates actual bytes.
             SELECT media_id, kind, n_bytes, checksum,
-                   dec_width, dec_height, dec_duration_ms, dec_nsamples
+                   dec_width, dec_height, dec_duration_ms, dec_nsamples,
+                   'real' AS dec_status
             FROM (
               WITH png AS (
                 SELECT i, (3 + i % 4)::BIGINT AS w, (2 + i % 3)::BIGINT AS h
@@ -1693,8 +1713,34 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    (16 + i % 9)::INT AS dec_width,
                    (9 + i % 7)::INT AS dec_height,
                    ((i % 20 + 1) * 10)::INT AS dec_duration_ms,
-                   NULL::INT AS dec_nsamples
+                   NULL::INT AS dec_nsamples,
+                   'real' AS dec_status
             FROM range(80, 96) t(i)
+        """,
+        "frame_features": """
+            -- MJPEG-in-MP4 frame sampling (ids 0..15, synth_media
+            -- n_mjpeg=16): every frame is a solid-gray baseline JPEG with
+            -- v = 128 + 3*(((i*7 + k*11) % 33) - 16), which decodes
+            -- BIT-EXACTLY (3 | v-128 makes the DC quantization lossless),
+            -- so decoded channel means are re-derived arithmetically.
+            -- Sampling grid: every 500 ms over duration (i%4+2)*250 ms;
+            -- the covering frame is ts//250 (stts delta 250 ms).
+            WITH vid AS (
+              SELECT i, (i % 4 + 2) * 250 AS dur FROM range(0, 16) t(i)),
+            ts AS (
+              SELECT i, unnest(range(0, dur, 500)) AS t FROM vid)
+            SELECT i::BIGINT AS media_id, t::INT AS ts_ms,
+                   (t // 250)::INT AS frame_idx,
+                   'real' AS dec_status,
+                   (16 + i % 9)::INT AS frame_w,
+                   (9 + i % 7)::INT AS frame_h,
+                   (128 + 3 * (((i * 7 + (t // 250) * 11) % 33) - 16))::INT
+                       AS mean_r,
+                   (128 + 3 * (((i * 7 + (t // 250) * 11) % 33) - 16))::INT
+                       AS mean_g,
+                   (128 + 3 * (((i * 7 + (t // 250) * 11) % 33) - 16))::INT
+                       AS mean_b
+            FROM ts
         """,
     }
 

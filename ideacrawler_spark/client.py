@@ -90,6 +90,7 @@ class CrawlJob:
         self._started = threading.Event()
         self.status_msg = ""
         self.rounds = 0
+        self.truncated = False  # True if ANY round hit stream_row_cap
         self.pages: List[PageHTML] = []  # every shipped page, in order
 
     # -- DomainOpt assembly (PromptForDomain, pyclient.py:160-188) -------
@@ -159,9 +160,18 @@ class CrawlJob:
                     self.status_msg = "stream closed without done"
                     break
                 line = json.loads(raw)
+                if line.get("truncated"):
+                    # The server capped this round's shipped rows
+                    # (stream_row_cap): delivery is PARTIAL — surface it
+                    # rather than silently diverging from the reference
+                    # pyclient's deliver-every-page contract. The full set
+                    # stays in the server-side checkpoint.
+                    self.truncated = True
                 if line.get("done"):
                     self.rounds = int(line.get("rounds", 0))
-                    self.status_msg = "done"
+                    self.status_msg = ("done (truncated: some rounds "
+                                       "exceeded stream_row_cap)"
+                                       if self.truncated else "done")
                     break
                 for s in line.get("shipped", []):
                     ph = PageHTML(

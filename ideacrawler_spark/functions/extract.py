@@ -182,8 +182,11 @@ def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
 #   //tag   //tag[@attr='v']   //tag[n]   //tag[contains(@attr,'v')]
 #   //tag[contains(text(),'v')]   //div/span   //div//span
 #   /html/head/title   //meta[@name='x']/@content   //title/text()
-#   (* as a wildcard tag; child and descendant axes; one predicate per
-#   step; trailing @attr / text() node selection). String value =
+#   //tag[starts-with(@attr,'v')]   //tag[starts-with(text(),'v')]
+#   //tag[normalize-space()='v']    //tag[normalize-space(@a)='v']
+#   //tag[@price>3]  (numeric >,<,>=,<=,=,!= with number() NaN semantics)
+#   (* as a wildcard tag; child and descendant axes; chained predicates;
+#   trailing @attr / text() node selection). String value =
 #   concatenated descendant text of the first match in document order
 #   (antchfx Value()); attribute and text nodes value to their own
 #   content; no match or an unsupported expression → empty string
@@ -248,16 +251,30 @@ _RX_XPATH_STEP = re.compile(
 _RX_PREDS = re.compile(r"\[([^\]]+)\]")
 # predicate forms: [@attr='v']  [n]  [contains(@attr,'v')]
 #                  [contains(text(),'v')]
-_RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)=(['\"])(.*?)\2$")
+_RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)\s*=\s*(['\"])(.*?)\2$")
 _RX_PRED_POS = re.compile(r"^(\d+)$")
 _RX_PRED_POSITION_EQ = re.compile(r"^position\(\)\s*=\s*(\d+)$")
 _RX_PRED_CONTAINS = re.compile(
     r"^contains\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
+_RX_PRED_STARTS = re.compile(
+    r"^starts-with\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
+# normalize-space(), normalize-space(text()), normalize-space(@attr),
+# compared for equality against a string literal
+_RX_PRED_NORMSPACE = re.compile(
+    r"^normalize-space\(\s*(?:@([\w-]+)|(text\(\))|)\s*\)"
+    r"\s*=\s*(['\"])(.*?)\3$")
+# numeric attribute comparison: [@price>3] [@n>=2.5] [@n!=0] — XPath
+# number() semantics: a missing/non-numeric attribute is NaN, every
+# comparison with NaN is false
+_RX_PRED_ATTR_CMP = re.compile(
+    r"^@([\w-]+)\s*(>=|<=|!=|>|<|=)\s*(-?\d+(?:\.\d+)?)$")
 
 
 def _parse_pred(pred: str):
     """One predicate → ("attr_eq", name, val) | ("pos", n) |
-    ("contains_attr", name, val) | ("contains_text", val) | None."""
+    ("contains_attr", name, val) | ("contains_text", val) |
+    ("starts_attr", name, val) | ("starts_text", val) |
+    ("ns_eq", kind, name, val) | ("attr_cmp", name, op, num) | None."""
     m = _RX_PRED_ATTR_EQ.match(pred)
     if m:
         return ("attr_eq", m.group(1), m.group(3))
@@ -270,9 +287,39 @@ def _parse_pred(pred: str):
         if m.group(1) is not None:
             return ("contains_attr", m.group(1), m.group(3))
         return ("contains_text", m.group(3))
+    m = _RX_PRED_STARTS.match(pred)
+    if m:
+        if m.group(1) is not None:
+            return ("starts_attr", m.group(1), m.group(3))
+        return ("starts_text", m.group(3))
+    m = _RX_PRED_NORMSPACE.match(pred)
+    if m:
+        if m.group(1) is not None:
+            return ("ns_eq", "attr", m.group(1), m.group(4))
+        kind = "text" if m.group(2) else "self"
+        return ("ns_eq", kind, None, m.group(4))
+    m = _RX_PRED_ATTR_CMP.match(pred)
+    if m:
+        return ("attr_cmp", m.group(1), m.group(2), float(m.group(3)))
     if re.match(r"^(?:position\(\)\s*=\s*)?last\(\)$", pred):
         return ("last",)
     return None
+
+
+def _xpath_normalize_space(s: str) -> str:
+    """XPath normalize-space(): strip leading/trailing whitespace and
+    collapse internal runs (space/tab/CR/LF) to one space."""
+    return " ".join(s.split())
+
+
+_CMP_OPS = {
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
 
 
 def _parse_xpath(path: str):
@@ -288,7 +335,24 @@ def _parse_xpath(path: str):
     arbitrary antchfx xpath)."""
     if not path.startswith("/"):
         return None
-    parts = path.split("/")
+    # quote-aware component split: a '/' inside a quoted predicate
+    # argument (starts-with(@href,'/c'), contains(@src,'http://…')) is
+    # literal, not a step separator
+    parts, cur, q = [], [], None
+    for ch in path:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "/":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
     steps, descendant, idx = [], False, 1
     terminal = None
     while idx < len(parts):
@@ -356,6 +420,39 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
             if pred[0] == "contains_text":
                 return [c for c in kids
                         if pred[1] in _node_string_value(c)]
+            if pred[0] == "starts_attr":
+                return [c for c in kids
+                        if (c.attrs.get(pred[1]) or "").startswith(pred[2])]
+            if pred[0] == "starts_text":
+                return [c for c in kids
+                        if _node_string_value(c).startswith(pred[1])]
+            if pred[0] == "ns_eq":
+                _, kind, name, val = pred
+                out = []
+                for c in kids:
+                    if kind == "attr":
+                        s = c.attrs.get(name)
+                        if s is None:
+                            continue
+                    else:  # text() or bare normalize-space() — both take
+                        s = _node_string_value(c)  # the node string value
+                    if _xpath_normalize_space(s) == val:
+                        out.append(c)
+                return out
+            if pred[0] == "attr_cmp":
+                _, name, op, rhs = pred
+                out = []
+                for c in kids:
+                    raw = c.attrs.get(name)
+                    if raw is None:
+                        continue
+                    try:
+                        lhs = float(raw.strip())
+                    except ValueError:
+                        continue  # number() → NaN → comparison false
+                    if _CMP_OPS[op](lhs, rhs):
+                        out.append(c)
+                return out
             return []
 
         selected = set()

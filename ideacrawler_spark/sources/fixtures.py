@@ -109,8 +109,14 @@ def synth_web(seed: int = 42, scale: int = 1):
             words = " ".join(prng.choice(_WORDS) for _ in range(prng.randrange(8, 20)))
             text = f"text of {url} :: {words}"
             body = ["<html><head><title>", url, "</title></head><body><p>", words, "</p>"]
-            for href, anchor in hrefs:
-                body.append(f'<a class="l" href="{href}">  {anchor} </a>')
+            # data-i = ordinal — a NUMERIC attribute so callback specs can
+            # exercise numeric xpath predicates ([@data-i>2]) on the same
+            # fixture; anchors' string values and link extraction are
+            # unchanged by the attribute
+            for a_i, (href, anchor) in enumerate(hrefs):
+                body.append(
+                    f'<a class="l" data-i="{a_i}" href="{href}">'
+                    f'  {anchor} </a>')
             body.append("</body></html>")
             html = "".join(body).encode("utf-8")
             status = 200

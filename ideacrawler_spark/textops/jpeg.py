@@ -23,6 +23,11 @@ from typing import Optional
 
 import numpy as np
 
+# Same decode budget as multimodal.MAX_DECODE_PIXELS (defined locally to
+# keep this module dependency-free): reject declared dims above 64 MPel
+# before allocating component planes.
+MAX_DECODE_PIXELS = 1 << 26
+
 # -- Annex K tables ---------------------------------------------------------
 
 QUANT_LUMA = np.array([
@@ -329,6 +334,12 @@ def _decode_scan(payload, pos, frame, scan, qtables, huff_dc, huff_ac,
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     if not all(c["hs"] in (1, 2) and c["vs"] in (1, 2) for c in comps):
+        return None
+    # Declared-dimension cap BEFORE allocating planes: a few-hundred-byte
+    # payload declaring 65535x65535 would request ~100 GB of float64, and
+    # under Linux overcommit the lazy calloc can "succeed" then OOM-kill
+    # the executor mid-scan instead of raising here.
+    if w * h > MAX_DECODE_PIXELS:
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))

@@ -36,8 +36,15 @@ MEDIA_SCHEMA = (
 FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes int, checksum long, "
     "dec_width int, dec_height int, dec_duration_ms int, dec_nsamples int, "
-    "feat array<float>"
+    "dec_status string, feat array<float>"
 )
+
+# Decode budget: reject frames whose DECLARED dimensions exceed this many
+# pixels before allocating planes or inflating compressed streams. Crawled
+# bytes are adversarial — a few hundred bytes can declare 65535x65535
+# (~100 GB of planes) or zlib-inflate to gigabytes. 2^26 px = 64 MPel,
+# comfortably above any real web image (a 8192x8192 frame fits).
+MAX_DECODE_PIXELS = 1 << 26
 
 
 # --------------------------------------------------------------------------
@@ -180,12 +187,19 @@ def decode_png(payload: bytes) -> Optional[dict]:
             or interlace != 0 or w <= 0 or h <= 0:
         return None  # only 8-bit truecolor(+alpha), non-interlaced
     nch = 3 if color == 2 else 4
+    if w * h > MAX_DECODE_PIXELS:
+        return None  # declared dims exceed the decode budget
+    stride = w * nch
+    need = h * (stride + 1)
+    # Bounded inflate: a few-KB crafted IDAT can declare gigabytes of
+    # output (zlib bomb) — never inflate past the scanline stream we need.
+    # Data beyond `need` is ignored (same tolerance as an unbounded inflate
+    # followed by a prefix read, but without materializing the bomb).
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None  # truncated scanline stream
     sl = np.frombuffer(raw, dtype=np.uint8,
                        count=h * (stride + 1)).reshape(h, stride + 1)
@@ -384,6 +398,147 @@ def make_mp4(w: int, h: int, duration_ms: int, data: bytes) -> bytes:
     return ftyp + moov + box(b"mdat", data)
 
 
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def make_mp4_mjpeg(w: int, h: int, frames, frame_ms: int) -> bytes:
+    """Serialize an MJPEG-in-MP4: a structurally-valid ISO-BMFF file whose
+    ``mdat`` holds the given baseline-JPEG frame byte strings back to back,
+    indexed by REAL sample tables — ``stts`` (one run: n_frames × frame_ms
+    at mdhd timescale 1000), ``stsz`` (per-frame byte sizes) and ``stco``
+    (absolute file offset of the first frame; one chunk). ``frame_sample``
+    re-derives every frame's (timestamp, offset, size) from these boxes
+    and decodes the sliced bytes with textops/jpeg.py — no side channel."""
+    n = len(frames)
+    dur = n * frame_ms
+    mvhd = _box(b"mvhd", bytes(4) + bytes(8)
+                + struct.pack(">II", 1000, dur)
+                + struct.pack(">I", 0x00010000)
+                + struct.pack(">H", 0x0100) + bytes(2)
+                + bytes(8) + _MP4_MATRIX + bytes(24)
+                + struct.pack(">I", 1))
+    tkhd = _box(b"tkhd", bytes([0, 0, 0, 7]) + bytes(8)
+                + struct.pack(">I", 1) + bytes(4)
+                + struct.pack(">I", dur)
+                + bytes(8) + bytes(8) + _MP4_MATRIX
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                + struct.pack(">II", 1000, dur)
+                + struct.pack(">HH", 0x55C4, 0))  # 'und' language
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"mjpeg\x00")
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                + _box(b"mjpa", bytes(6) + struct.pack(">H", 1)
+                       + bytes(16) + struct.pack(">HH", w, h)
+                       + bytes(50)))
+    stts = _box(b"stts", bytes(4) + struct.pack(">III", 1, n, frame_ms))
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+
+    def assemble(offset: int) -> bytes:
+        stco = _box(b"stco", bytes(4) + struct.pack(">II", 1, offset))
+        stbl = _box(b"stbl", stsd + stts + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+        return ftyp + moov + _box(b"mdat", b"".join(frames))
+
+    # stco needs the absolute mdat-body offset, which depends on the moov
+    # size — assemble once with 0, measure, assemble again (sizes fixed).
+    probe = assemble(0)
+    mdat_body = len(probe) - sum(len(f) for f in frames)
+    return assemble(mdat_body)
+
+
+def decode_mp4_samples(payload: bytes) -> Optional[dict]:
+    """Parse an MP4's first video track's sample tables from actual bytes:
+    box walk to trak/mdia/{mdhd,minf/stbl/{stts,stsz,stco}}, returning
+    ``samples`` = [(ts_ms, offset, size), ...] plus ``duration_ms``.
+    Offsets are validated against the payload bounds; anything malformed,
+    truncated, or lacking sample tables returns None (the metadata-only
+    ``decode_mp4`` path still covers such files)."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    top = _mp4_boxes(payload, 0, len(payload))
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    for t, s, e in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = next(((s2, e2) for t2, s2, e2
+                     in _mp4_boxes(payload, s, e) if t2 == b"mdia"), None)
+        if mdia is None:
+            continue
+        timescale, stbl = None, None
+        for t2, s2, e2 in _mp4_boxes(payload, mdia[0], mdia[1]):
+            if t2 == b"mdhd" and e2 - s2 >= 20 and payload[s2] == 0:
+                timescale = int.from_bytes(payload[s2 + 12:s2 + 16], "big")
+            elif t2 == b"minf":
+                stbl = next(((s3, e3) for t3, s3, e3
+                             in _mp4_boxes(payload, s2, e2)
+                             if t3 == b"stbl"), None)
+        if timescale is None or timescale <= 0 or stbl is None:
+            continue
+        stts = stsz = stco = None
+        for t3, s3, e3 in _mp4_boxes(payload, stbl[0], stbl[1]):
+            body = payload[s3:e3]
+            if t3 == b"stts":
+                stts = body
+            elif t3 == b"stsz":
+                stsz = body
+            elif t3 == b"stco":
+                stco = body
+        if stts is None or stsz is None or stco is None:
+            continue
+        # stts: version/flags + entry_count + (count, delta)*
+        if len(stts) < 8:
+            return None
+        n_ent = int.from_bytes(stts[4:8], "big")
+        if len(stts) < 8 + 8 * n_ent:
+            return None
+        deltas = []
+        for k in range(n_ent):
+            cnt = int.from_bytes(stts[8 + 8 * k:12 + 8 * k], "big")
+            dlt = int.from_bytes(stts[12 + 8 * k:16 + 8 * k], "big")
+            if cnt > 1 << 20:
+                return None  # adversarial sample-count bomb
+            deltas.extend([dlt] * cnt)
+        # stsz: version/flags + sample_size + count + sizes*
+        if len(stsz) < 12:
+            return None
+        fixed = int.from_bytes(stsz[4:8], "big")
+        n_samp = int.from_bytes(stsz[8:12], "big")
+        if n_samp > 1 << 20:
+            return None
+        if fixed:
+            sizes = [fixed] * n_samp
+        else:
+            if len(stsz) < 12 + 4 * n_samp:
+                return None
+            sizes = [int.from_bytes(stsz[12 + 4 * k:16 + 4 * k], "big")
+                     for k in range(n_samp)]
+        # stco: version/flags + entry_count + offsets* (first chunk only —
+        # the writer above emits one chunk; multi-chunk files fall back)
+        if len(stco) < 12:
+            return None
+        off = int.from_bytes(stco[8:12], "big")
+        n = min(len(deltas), len(sizes))
+        if n == 0:
+            return None
+        samples, ts, pos = [], 0, off
+        for k in range(n):
+            if pos + sizes[k] > len(payload):
+                return None  # sample table points past the file
+            samples.append((ts * 1000 // timescale, pos, sizes[k]))
+            ts += deltas[k]
+            pos += sizes[k]
+        return dict(samples=samples,
+                    duration_ms=ts * 1000 // timescale)
+    return None
+
+
 def decode_jpeg_features(payload: bytes) -> Optional[dict]:
     """Baseline-JPEG decode (textops/jpeg.py — full stdlib+numpy entropy
     decode, IDCT, color convert) mapped to the shared feature layout:
@@ -426,11 +581,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     Real decode where the container allows it (WAV, BMP — sniffed from the
     BYTES, the mime/kind columns are never trusted); stub features for
     formats needing a media library. The dec_* columns carry values parsed
-    from the payload itself (NULL for stub-decoded rows)."""
+    from the payload itself (NULL for stub-decoded rows). ``dec_status``
+    records decode PROVENANCE — 'real' for rows whose features came from a
+    genuine byte-level decode, 'stub' for rows that fell through to
+    ``_fake_decode`` (progressive JPEG, undecodable formats) — so
+    downstream curation can filter on it (VERDICT r04 next #7)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dw, dh, dd, dn, feats = [], [], [], [], []
+            dw, dh, dd, dn, status, feats = [], [], [], [], [], []
             for p, k in zip(pdf["payload"], pdf["kind"]):
                 try:
                     dec = (decode_bmp(p) or decode_wav(p) or decode_png(p)
@@ -439,6 +598,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     # belt-and-braces: a malformed payload must degrade to
                     # the stub path, never fail the whole Spark task
                     dec = None
+                status.append("stub" if dec is None else "real")
                 if dec is None:
                     dec = dict(dec_width=None, dec_height=None,
                                dec_duration_ms=None, dec_nsamples=None,
@@ -462,6 +622,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "dec_height": pd.array(dh, dtype="Int32"),
                     "dec_duration_ms": pd.array(dd, dtype="Int32"),
                     "dec_nsamples": pd.array(dn, dtype="Int32"),
+                    "dec_status": status,
                     "feat": feats,
                 }
             )
@@ -529,25 +690,106 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     return imgs.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_id long, ts_ms int, frame_idx int, dec_status string, "
+    "frame_w int, frame_h int, mean_r int, mean_g int, mean_b int"
+)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled timestamp.
-    The decode is stubbed; the explode/partitioning shape is real."""
-    return (
-        media.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                    F.lit(every_ms),
-                )
-            ).alias("ts_ms"),
-        )
-    )
+    """Video frame sampling with REAL decode: one output row per sampled
+    timestamp. For MJPEG-in-MP4 payloads the sample tables (stts/stsz/
+    stco) are parsed from the container bytes, the frame covering each
+    sampled timestamp is SLICED out of ``mdat`` and decoded with the
+    baseline-JPEG decoder (textops/jpeg.py) — dims and per-channel pixel
+    means come from actual decoded pixels (``dec_status='real'``). Videos
+    without a parseable sample table (or with undecodable frame bytes)
+    keep the previous behavior: the same timestamp grid over the metadata
+    duration, NULL frame columns, ``dec_status='stub'``.
+
+    Shape: one Arrow-batched ``mapInPandas`` pass — each task touches one
+    batch of payloads, parses each container once, and decodes only the
+    sampled frames; no shuffle, no driver collect."""
+    from ideacrawler_spark.textops.jpeg import decode_jpeg
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "ts_ms", "frame_idx",
+                                   "dec_status", "frame_w", "frame_h",
+                                   "mean_r", "mean_g", "mean_b")}
+
+            def emit(mid, ts, idx, st, w_=None, h_=None,
+                     r_=None, g_=None, b_=None):
+                out["media_id"].append(mid)
+                out["ts_ms"].append(ts)
+                out["frame_idx"].append(idx)
+                out["dec_status"].append(st)
+                out["frame_w"].append(w_)
+                out["frame_h"].append(h_)
+                out["mean_r"].append(r_)
+                out["mean_g"].append(g_)
+                out["mean_b"].append(b_)
+
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"],
+                                   pdf["duration_ms"]):
+                try:
+                    tab = decode_mp4_samples(p)
+                except Exception:  # noqa: BLE001 — malformed ⇒ stub path
+                    tab = None
+                if tab is None or not tab["samples"]:
+                    d = int(dur) if dur is not None and dur == dur else 0
+                    for t in range(0, max(d - 1, 0) + 1, every_ms):
+                        emit(mid, t, None, "stub")
+                    continue
+                samples = tab["samples"]
+                decoded = {}  # frame_idx -> decode result (frames repeat)
+                d = tab["duration_ms"]
+                for t in range(0, max(d - 1, 0) + 1, every_ms):
+                    # the frame covering t: last sample with ts <= t
+                    idx = 0
+                    for k, (sts, _, _) in enumerate(samples):
+                        if sts <= t:
+                            idx = k
+                        else:
+                            break
+                    if idx not in decoded:
+                        _, off, size = samples[idx]
+                        try:
+                            decoded[idx] = decode_jpeg(p[off:off + size])
+                        except Exception:  # noqa: BLE001
+                            decoded[idx] = None
+                    dj = decoded[idx]
+                    if dj is None:
+                        emit(mid, t, idx, "stub")
+                    else:
+                        rgb = dj["rgb"].astype(np.float64)
+                        m = rgb.mean(axis=(0, 1))
+                        emit(mid, t, idx, "real",
+                             int(dj["width"]), int(dj["height"]),
+                             int(round(m[0])), int(round(m[1])),
+                             int(round(m[2])))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "ts_ms": pd.array(out["ts_ms"], dtype="Int32"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "dec_status": out["dec_status"],
+                    "frame_w": pd.array(out["frame_w"], dtype="Int32"),
+                    "frame_h": pd.array(out["frame_h"], dtype="Int32"),
+                    "mean_r": pd.array(out["mean_r"], dtype="Int32"),
+                    "mean_g": pd.array(out["mean_g"], dtype="Int32"),
+                    "mean_b": pd.array(out["mean_b"], dtype="Int32"),
+                }
+            )
+
+    return vids.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0):
+def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0,
+                n_mjpeg: int = 0):
     """Deterministic media table for tests: REAL BMP bytes for images,
     REAL WAV PCM bytes for audio (both fully arithmetic — the DuckDB
     oracle re-derives n_bytes/checksum/dims/duration from the same
@@ -609,6 +851,30 @@ def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0):
                 media_id=i, kind="video",
                 payload=make_mp4(w, h, dur, data),
                 mime="video/mp4", width=w, height=h, duration_ms=dur,
+            )
+        )
+    # MJPEG-in-MP4 videos: every frame is a SOLID-GRAY baseline JPEG whose
+    # gray value v ≡ 128 (mod 3) decodes BIT-EXACTLY at quality 90 (the
+    # DC quant step is 3, and 3 | (v-128) makes the quantization lossless;
+    # Cb=Cr=128 quantize to 0 exactly) — so the DuckDB oracle re-derives
+    # every decoded frame's channel means arithmetically from (i, t).
+    for i in range(n + n_png + n_mp4, n + n_png + n_mp4 + n_mjpeg):
+        from ideacrawler_spark.textops.jpeg import make_jpeg
+
+        w, h = 16 + i % 9, 9 + i % 7
+        nf = i % 4 + 2
+        frame_ms = 250
+        frames = []
+        for t in range(nf):
+            v = 128 + 3 * (((i * 7 + t * 11) % 33) - 16)
+            frames.append(make_jpeg(
+                np.full((h, w, 3), v, dtype=np.uint8), quality=90))
+        rows.append(
+            dict(
+                media_id=i, kind="video",
+                payload=make_mp4_mjpeg(w, h, frames, frame_ms),
+                mime="video/mp4", width=w, height=h,
+                duration_ms=nf * frame_ms,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

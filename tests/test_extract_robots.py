@@ -250,3 +250,53 @@ def test_xpath_unions_and_chained_predicates():
     assert x(h, "//p[@class='k'][3]") == ""   # only two k-classed p's
     assert x(h, "//p[2][@class='k']") == "p2"  # pos first, then filter
     assert x(h, "//p[contains(text(),'p')][contains(@class,'k')][2]") == "p2"
+
+
+def test_xpath_starts_with_normalize_space_numeric():
+    """Widened again (VERDICT r04 #4): starts-with(), normalize-space()
+    equality, and numeric attribute comparisons with number() NaN
+    semantics — the bulk of remaining real antchfx callback specs."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><head><title>  Spaced   Title </title></head><body>"
+         b'<a class="nav-top" href="/a">first</a>'
+         b'<a class="nav-side" href="/b">second</a>'
+         b'<a class="footer" href="/c">third</a>'
+         b'<li data-price="3">cheap</li>'
+         b'<li data-price="7.5">mid</li>'
+         b'<li data-price="20">dear</li>'
+         b'<li data-price="n/a">bad</li>'
+         b"<li>unpriced</li>"
+         b'<p class="x">  padded   text  </p>'
+         b"</body></html>")
+    # starts-with on attributes and text
+    assert x(h, "//a[starts-with(@class,'nav')]") == "first"
+    assert x(h, "//a[starts-with(@class,'nav-s')]") == "second"
+    assert x(h, "//a[starts-with(@class,'zzz')]") == ""
+    assert x(h, "//a[starts-with(text(),'sec')]") == "second"
+    assert x(h, "//a[starts-with(@href,'/c')]/@class") == "footer"
+    # chained with position: 2nd nav-prefixed anchor
+    assert x(h, "//a[starts-with(@class,'nav')][2]") == "second"
+    # normalize-space: bare (string value), text(), and @attr forms
+    assert x(h, "//p[normalize-space()='padded text']") == "  padded   text  "
+    assert x(h, "//title[normalize-space(text())='Spaced Title']") \
+        == "  Spaced   Title "
+    assert x(h, "//p[normalize-space(@class)='x']") == "  padded   text  "
+    assert x(h, "//p[normalize-space()='padded']") == ""
+    # numeric comparisons: >, <, >=, <=, =, != over number(@attr)
+    assert x(h, "//li[@data-price>3]") == "mid"
+    assert x(h, "//li[@data-price>=3]") == "cheap"
+    assert x(h, "//li[@data-price<7.5]") == "cheap"
+    assert x(h, "//li[@data-price<=7.5]") == "cheap"
+    assert x(h, "//li[@data-price=7.5]") == "mid"
+    assert x(h, "//li[@data-price!=3]") == "mid"   # NaN rows excluded
+    assert x(h, "//li[@data-price>100]") == ""
+    # 'n/a' and missing attributes are NaN: every comparison false
+    assert x(h, "//li[@data-price<99999]/@data-price") == "3"
+    # whitespace tolerance around operators; quoted RHS stays string-eq
+    assert x(h, "//li[@data-price >= 20]") == "dear"
+    assert x(h, "//li[@data-price = 20]") == "dear"
+    assert x(h, "//li[@data-price='7.5']") == "mid"
+    # numeric equality is number()-based: '20' == 20.0 but '20.0' too
+    h2 = b'<i n="20.0">a</i><i n="020">b</i>'
+    assert x(h2, "//i[@n=20]") == "a"   # both match; first in doc order

@@ -119,6 +119,32 @@ def test_xpath_attribute_callback(spark, web, web_dfs):
     assert "http://hosta.example/p/2" in shipped
 
 
+def test_xpath_numeric_predicate_callback(spark, web, web_dfs):
+    """Numeric-predicate xpath callback (//a[@data-i>2], VERDICT r04 #4):
+    the fixture anchors carry a numeric data-i ordinal; the spec ships
+    only pages whose first anchor with data-i > 2 (i.e. the 4th anchor)
+    has the target string value — number() comparison driving the real
+    callback gate end-to-end through engine AND simulator."""
+    from ideacrawler_spark.functions.extract import xpath_first_value
+
+    pages, _, _, _ = web
+    by_url = {p["url"]: p["html"] for p in pages}
+    expr = "//a[@data-i>2]"
+    target = xpath_first_value(by_url["http://hosta.example/p/2"], expr)
+    assert target != ""  # p/2 has at least 4 anchors in this fixture
+    spec = JobSpec(job_id="xpnum", seed_url="http://hosta.example/p/0",
+                   callback_xpath_match=((expr, target),),
+                   min_delay_s=1, round_seconds=10, max_rounds=6)
+    golden, got = _run_both(spark, web, web_dfs, spec)
+    _assert_order_seen(golden, got)
+    shipped = sorted(r["url"] for r in got["shipped"].collect()) \
+        if got["shipped"] is not None else []
+    assert shipped == sorted(s["url"] for s in golden.shipped)
+    assert "http://hosta.example/p/2" in shipped
+    # the gate is selective: not every fetched page shipped
+    assert len(shipped) < len(golden.order)
+
+
 def test_login_session_guard(spark, web, web_dfs):
     """F11 (HTTP half): CheckLoginAfterEachPage + LoginSuccessCheck — the
     guard passes while the check xpath's first-node value matches
