@@ -384,6 +384,35 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation for the IVF family (VERDICT r04 next #9):
+    recall@5 of the multi-probe IVF top-k against the brute-force exact
+    top-k — so BOTH ANN families (sign-LSH via ann_recall, IVF here)
+    carry a monitored quality metric. Exact integers only."""
+    from ideacrawler_spark.textops.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, n_queries=5, k=5).select(
+        "query_id", "neighbor_id")
+    approx = ivf_topk(emb).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("k"))
+        .join(hits, "query_id", "left")
+        .select("query_id", "k",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                .alias("n_hits"))
+    )
+
+
 def q_embedding_near_dup_banded(spark, sf_dir):
     from ideacrawler_spark.textops.similarity import near_dup_pairs_banded
 
@@ -950,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
+        "ivf_recall": q_ivf_recall,
         "curation": q_curation,
         "langid": q_langid,
         "quality": q_quality,
@@ -989,6 +1019,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT query_id, neighbor_id FROM ({d["embedding_topk"]})),
         approx AS (
           SELECT vec_id AS query_id, neighbor_id FROM ({lsh5})),
+        hits AS (
+          SELECT query_id, count(*)::INT AS n_hits
+          FROM (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+          GROUP BY query_id)
+        SELECT q.query_id, q.k, coalesce(h.n_hits, 0)::INT AS n_hits
+        FROM (SELECT query_id, count(*)::INT AS k
+              FROM exact GROUP BY query_id) q
+        LEFT JOIN hits h USING (query_id)
+    """
+    # IVF recall@5: same composition over the (oracled) ivf_topk query.
+    d["ivf_recall"] = f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({d["embedding_topk"]})),
+        approx AS (
+          SELECT query_id, neighbor_id FROM ({d["ivf_topk"]})),
         hits AS (
           SELECT query_id, count(*)::INT AS n_hits
           FROM (SELECT * FROM exact INTERSECT SELECT * FROM approx)

@@ -77,10 +77,25 @@ class CrawlJob:
     unsafe_normalize: bool = False
     check_content: bool = False
     follow_other_domains: bool = False
+    threads_per_site: int = 1
+    useragent: str = "Fetchbot"
+    mimetype: str = "text/html"
+    login: bool = False
+    check_login_after_each_page: bool = False
+    login_success_check: Optional[tuple] = None
     # engine-only knobs passed through when set
     max_rounds: int = 64
     round_seconds: int = 30
     host_blocklist: tuple = ()
+    max_host_digits: Optional[int] = None
+    max_path_depth: Optional[int] = None
+    max_query_params: Optional[int] = None
+    # server-side checkpointing: set checkpoint_dir to make the job
+    # resumable; a second CrawlJob with the same job_id + checkpoint_dir
+    # and resume=True continues from the last committed round (the
+    # reference analogue is reconnecting a subscription to a live job)
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
 
     def __post_init__(self):
         self._pushes: List[dict] = []
@@ -113,9 +128,19 @@ class CrawlJob:
             max_delay_s=self.max_delay,
             max_concurrent=self.max_concurrent_requests,
             impolite=self.impolite,
+            threads_per_site=self.threads_per_site,
+            useragent=self.useragent,
+            mimetype=self.mimetype,
+            login=self.login,
+            check_login_after_each_page=self.check_login_after_each_page,
+            login_success_check=(list(self.login_success_check)
+                                 if self.login_success_check else None),
             max_rounds=self.max_rounds,
             round_seconds=self.round_seconds,
             host_blocklist=list(self.host_blocklist or ()),
+            max_host_digits=self.max_host_digits,
+            max_path_depth=self.max_path_depth,
+            max_query_params=self.max_query_params,
         )
 
     # -- lifecycle (Start/IsAlive/Run/Stop, pyclient.py:190-239) ---------
@@ -144,10 +169,13 @@ class CrawlJob:
         conn = http.client.HTTPConnection(self.svr_host, self.svr_port,
                                           timeout=3600)
         try:
-            conn.request(
-                "POST", "/jobs",
-                json.dumps({"spec": self._spec(), "pushes": self._pushes}),
-                {"Content-Type": "application/json"})
+            body = {"spec": self._spec(), "pushes": self._pushes}
+            if self.checkpoint_dir:
+                body["checkpoint_dir"] = self.checkpoint_dir
+            if self.resume:
+                body["resume"] = True
+            conn.request("POST", "/jobs", json.dumps(body),
+                         {"Content-Type": "application/json"})
             resp = conn.getresponse()
             if resp.status != 200:
                 self.status_msg = resp.read().decode("utf-8", "replace")

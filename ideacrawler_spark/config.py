@@ -49,6 +49,12 @@ class JobSpec:
     max_concurrent: int = 5                 # proto maxConcurrentRequests (doer.go:36-41)
     threads_per_site: int = 1               # proto threadsPerSite (fetch.go:364-366)
     impolite: bool = False                  # proto impolite ⇒ skip robots.txt
+    # proto useragent (job.go:669 → fetchbot f.UserAgent): its observable
+    # crawl effect is robots.txt GROUP SELECTION (FindGroup(f.UserAgent),
+    # fetch.go:473); request-header plumbing has no analogue in the
+    # simulated-web fetch join. Default = the Go client default
+    # (goclient:109 "Fetchbot").
+    useragent: str = "Fetchbot"
     mimetype: str = "text/html"             # proto mimetype (job.go:620-623)
     # Engine-only knob: the virtual wall-clock length of one frontier round.
     # The reference crawls continuously; the batch engine admits

@@ -128,7 +128,10 @@ class CrawlEngine:
         JVM-side. Rules are collected sorted by rule_seq so the UDF sees
         FILE ORDER (findRule's strict-'>' means the first rule in file
         order wins ties)."""
-        ua = "fetchbot"  # reference default UA (goclient:108), lowercased
+        # DomainOpt.Useragent (job.go:669 → FindGroup(f.UserAgent),
+        # fetch.go:473); goclient default "Fetchbot". Lowercased: FindGroup
+        # compares case-insensitively.
+        ua = (self.spec.useragent or "Fetchbot").lower()
         if "rule_seq" not in robots.columns:
             robots = robots.withColumn("rule_seq", F.lit(0))
         g = robots.groupBy("host", "user_agent").agg(

@@ -117,7 +117,9 @@ def simulate(
         groups = robots_groups.get(host)
         if not groups:
             return None
-        return select_group(groups, "Fetchbot")  # default UA (goclient :108)
+        # DomainOpt.Useragent reaches robots matching via fetchbot
+        # f.UserAgent (job.go:669, fetch.go:473)
+        return select_group(groups, spec.useragent or "Fetchbot")
 
     compiled_rules: Dict[str, object] = {}
 

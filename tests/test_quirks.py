@@ -145,6 +145,41 @@ def test_xpath_numeric_predicate_callback(spark, web, web_dfs):
     assert len(shipped) < len(golden.order)
 
 
+def test_useragent_robots_group(spark, web, web_dfs):
+    """DomainOpt.Useragent reaches robots GROUP SELECTION (job.go:669 →
+    FindGroup(f.UserAgent), fetch.go:473): the same crawl against a
+    robots file carrying a named 'SparkBot' group must pick that group
+    (blocking /p/ paths) when the spec UA starts with it, and fall back
+    to '*' under the default Fetchbot UA — engine ≡ simulator on both."""
+    pages, _, _, _ = web
+    pages_df, _, _, _ = web_dfs
+    robots = [
+        dict(host="hosta.example", user_agent="*", rule_path="",
+             allow=True, crawl_delay=0.0, fetch_status=200, rule_seq=0),
+        dict(host="hosta.example", user_agent="SparkBot", rule_path="/p/",
+             allow=False, crawl_delay=0.0, fetch_status=200, rule_seq=1),
+    ]
+    from ideacrawler_spark.sources.fixtures import ROBOTS_SCHEMA
+
+    robots_df = spark.createDataFrame(robots, ROBOTS_SCHEMA)
+    base = dict(seed_url="http://hosta.example/p/0", min_delay_s=1,
+                round_seconds=10, max_rounds=4)
+    # named-group UA: every /p/ URL on hosta is robots-denied
+    spec_bot = JobSpec(job_id="uabot", useragent="SparkBot/1.0", **base)
+    golden_bot = simulate(spec_bot, pages, robots)
+    got_bot = CrawlEngine(spark, spec_bot, pages_df, robots_df,
+                          shuffle_partitions=8).run()
+    _assert_order_seen(golden_bot, got_bot)
+    assert len(golden_bot.order) == 0  # seed itself is denied
+    # default UA picks '*' (allow-all): the crawl proceeds
+    spec_def = JobSpec(job_id="uadef", **base)
+    golden_def = simulate(spec_def, pages, robots)
+    got_def = CrawlEngine(spark, spec_def, pages_df, robots_df,
+                          shuffle_partitions=8).run()
+    _assert_order_seen(golden_def, got_def)
+    assert len(golden_def.order) > 0
+
+
 def test_login_session_guard(spark, web, web_dfs):
     """F11 (HTTP half): CheckLoginAfterEachPage + LoginSuccessCheck — the
     guard passes while the check xpath's first-node value matches
