@@ -185,6 +185,7 @@ def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
 #   //tag[starts-with(@attr,'v')]   //tag[starts-with(text(),'v')]
 #   //tag[normalize-space()='v']    //tag[normalize-space(@a)='v']
 #   //tag[@price>3]  (numeric >,<,>=,<=,=,!= with number() NaN semantics)
+#   //h2/following-sibling::p   //dt[...]/following-sibling::dd[1]
 #   (* as a wildcard tag; child and descendant axes; chained predicates;
 #   trailing @attr / text() node selection). String value =
 #   concatenated descendant text of the first match in document order
@@ -374,6 +375,12 @@ def _parse_xpath(path: str):
                 return None
             terminal = ("attr", p[1:])
             break
+        axis = "descendant" if descendant else "child"
+        if p.startswith("following-sibling::"):
+            if descendant:
+                return None  # a//following-sibling::b is out of subset
+            axis = "following-sibling"
+            p = p[len("following-sibling::"):]
         m = _RX_XPATH_STEP.match(p)
         if m is None:
             return None
@@ -383,7 +390,7 @@ def _parse_xpath(path: str):
             if pred is None:
                 return None
             preds.append(pred)
-        steps.append((descendant, m.group(1).lower(), preds))
+        steps.append((axis, m.group(1).lower(), preds))
         descendant = False
         idx += 1
     if not steps:
@@ -402,9 +409,14 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
     """Evaluate parsed steps. A positional predicate selects the n-th
     MATCHING CHILD PER PARENT (standard XPath: ``//p[2]`` abbreviates
     ``descendant-or-self::node()/child::p[position()=2]``); results are
-    returned in document order (pre-order over the tree)."""
+    returned in document order (pre-order over the tree). The
+    ``following-sibling`` axis filters per CONTEXT NODE (standard XPath:
+    ``following-sibling::p[1]`` is the first following p-sibling of each
+    context node), using a lazily-built parent map."""
     current = [root]
-    for descendant, tag, preds in steps:
+    parent_of = None
+    for axis, tag, preds in steps:
+        descendant = axis == "descendant"
 
         def filt(kids, pred):
             if pred[0] == "pos":
@@ -456,17 +468,46 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
             return []
 
         selected = set()
-        for n in current:
-            parents = [n] + (list(_iter_descendants(n)) if descendant else [])
-            for parent in parents:
-                kids = [c for c in parent.children
-                        if isinstance(c, _MiniNode)
-                        and (tag == "*" or c.tag == tag)]
-                for pred in preds:  # chained, in order (XPath semantics)
+        if axis == "following-sibling":
+            if parent_of is None:
+                parent_of = {}
+
+                def _walk(n):
+                    for c in n.children:
+                        if isinstance(c, _MiniNode):
+                            parent_of[id(c)] = n
+                            _walk(c)
+
+                _walk(root)
+            for n in current:
+                par = parent_of.get(id(n))
+                if par is None:
+                    continue
+                sibs = [c for c in par.children if isinstance(c, _MiniNode)]
+                try:
+                    at = next(k for k, c in enumerate(sibs) if c is n)
+                except StopIteration:
+                    continue
+                kids = [c for c in sibs[at + 1:]
+                        if tag == "*" or c.tag == tag]
+                for pred in preds:  # per context node (XPath semantics)
                     kids = filt(kids, pred)
                     if not kids:
                         break
                 selected.update(id(c) for c in kids)
+        else:
+            for n in current:
+                parents = [n] + (list(_iter_descendants(n)) if descendant
+                                 else [])
+                for parent in parents:
+                    kids = [c for c in parent.children
+                            if isinstance(c, _MiniNode)
+                            and (tag == "*" or c.tag == tag)]
+                    for pred in preds:  # chained, in order (XPath semantics)
+                        kids = filt(kids, pred)
+                        if not kids:
+                            break
+                    selected.update(id(c) for c in kids)
         if not selected:
             return []
         current = [c for c in _iter_descendants(root) if id(c) in selected]

@@ -300,3 +300,33 @@ def test_xpath_starts_with_normalize_space_numeric():
     # numeric equality is number()-based: '20' == 20.0 but '20.0' too
     h2 = b'<i n="20.0">a</i><i n="020">b</i>'
     assert x(h2, "//i[@n=20]") == "a"   # both match; first in doc order
+
+
+def test_xpath_following_sibling_axis():
+    """following-sibling:: — the definition-list / heading-paragraph
+    pattern real scrapers use (//dt[.]/following-sibling::dd[1]). The
+    axis filters per CONTEXT NODE: [1] is each context node's first
+    following sibling, not the document-wide first."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><body>"
+         b"<dl><dt id='a'>Author</dt><dd>ada</dd>"
+         b"<dt id='y'>Year</dt><dd>1843</dd></dl>"
+         b"<h2>Intro</h2><p>first para</p><p>second para</p>"
+         b"<h2>End</h2><p>closing</p>"
+         b"</body></html>")
+    assert x(h, "//dt[@id='y']/following-sibling::dd[1]") == "1843"
+    assert x(h, "//dt[@id='a']/following-sibling::dd[1]") == "ada"
+    assert x(h, "//dt/following-sibling::dd") == "ada"  # doc-order first
+    assert x(h, "//h2/following-sibling::p") == "first para"
+    assert x(h, "//h2[contains(text(),'End')]/following-sibling::p") \
+        == "closing"
+    assert x(h, "//h2/following-sibling::p[2]") == "second para"
+    # chains into terminals and further steps
+    h3 = (b"<div><span class='k'>skip</span>"
+          b"<a href='/n'>next</a><a href='/m'>more</a></div>")
+    assert x(h3, "//span[@class='k']/following-sibling::a/@href") == "/n"
+    assert x(h3, "//span/following-sibling::a[2]") == "more"
+    # no sibling → empty; descendant+sibling combo is out of subset
+    assert x(h, "//p/following-sibling::h2[5]") == ""
+    assert x(h, "//dl//following-sibling::dd") == ""
