@@ -268,3 +268,100 @@ class CrawlJob:
             return json.loads(conn.getresponse().read() or b"{}")
         finally:
             conn.close()
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire surface (wire.py): the reference's RPC byte format
+# ---------------------------------------------------------------------------
+
+def add_domain_and_listen_proto(host: str, port: int,
+                                opt: dict) -> tuple[str, list, dict]:
+    """AddDomainAndListen over the protobuf wire codec: POST one
+    DomainOpt message (the reference's request type, proto :26) and read
+    the framed PageHTML stream. Returns ``(job_id, pages, status)`` where
+    ``pages`` are decoded PageHTML dicts (jobID carried in each message,
+    as the reference streams it) and ``status`` is the trailing framed
+    Status — this HTTP/1.1 surface's stand-in for gRPC's trailer block.
+
+    The server assigns the job id (subscription model); it is echoed both
+    in each PageHTML.jobID and in the X-Job-Id response header, so control
+    calls (`add_pages_proto`, `cancel_job_proto`) can target the live job
+    mid-stream.
+    """
+    from ideacrawler_spark import wire
+
+    conn = http.client.HTTPConnection(host, port, timeout=3600)
+    try:
+        conn.request("POST", "/jobs", wire.DOMAIN_OPT.encode(opt),
+                     {"Content-Type": "application/x-protobuf"})
+        resp = conn.getresponse()
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}: {resp.read()!r}")
+        job_id = resp.getheader("X-Job-Id") or ""
+        frames = []
+        while True:
+            f = wire.read_frame(resp)
+            if f is None:
+                break
+            frames.append(f)
+        if not frames:
+            raise RuntimeError("stream ended without a Status frame")
+        status = wire.STATUS.decode(frames[-1])
+        pages = [wire.PAGE_HTML.decode(f) for f in frames[:-1]]
+        return job_id, pages, status
+    finally:
+        conn.close()
+
+
+def add_pages_proto(host: str, port: int, job_id: str,
+                    urls: list, meta_str: str = "") -> dict:
+    """AddPages RPC over the wire codec: a stream of framed PageRequest
+    messages in one POST body; returns the decoded Status."""
+    from ideacrawler_spark import wire
+
+    body = b"".join(
+        wire.frame(wire.PAGE_REQUEST.encode(
+            {"jobID": {"ID": job_id}, "reqtype": wire.PAGE_REQ_GET,
+             "url": u, "metaStr": meta_str}))
+        for u in urls)
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("POST", f"/jobs/{job_id}/pages", body,
+                     {"Content-Type": "application/x-protobuf"})
+        resp = conn.getresponse()
+        from ideacrawler_spark.wire import STATUS, read_frame
+        f = read_frame(resp)
+        return STATUS.decode(f) if f is not None else {}
+    finally:
+        conn.close()
+
+
+def cancel_job_proto(host: str, port: int, job_id: str) -> dict:
+    """CancelJob RPC over the wire codec: framed JobID in, Status out."""
+    from ideacrawler_spark import wire
+
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("POST", f"/jobs/{job_id}/cancel",
+                     wire.frame(wire.JOB_ID.encode({"ID": job_id})),
+                     {"Content-Type": "application/x-protobuf"})
+        resp = conn.getresponse()
+        f = wire.read_frame(resp)
+        return wire.STATUS.decode(f) if f is not None else {}
+    finally:
+        conn.close()
+
+
+def get_worker_id_proto(host: str, port: int) -> str:
+    """GetWorkerID RPC over the wire codec."""
+    from ideacrawler_spark import wire
+
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("GET", "/worker_id", None,
+                     {"Accept": "application/x-protobuf"})
+        resp = conn.getresponse()
+        f = wire.read_frame(resp)
+        return wire.WORKER_ID.decode(f)["ID"] if f is not None else ""
+    finally:
+        conn.close()

@@ -42,11 +42,13 @@ from __future__ import annotations
 
 import json
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ideacrawler_spark import wire
 from ideacrawler_spark.config import JobSpec
 from ideacrawler_spark.plans.crawl import CrawlEngine
 
@@ -80,6 +82,8 @@ class CrawlServer:
         self.jobs: dict[str, CrawlEngine] = {}
         self.done: set[str] = set()  # finished job ids (re-registrable)
         self._lock = threading.Lock()
+        # GetWorkerID (worker.go GetWorkerID RPC): a stable server identity
+        self.worker_id = "spark-worker-" + uuid.uuid4().hex[:12]
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -99,6 +103,23 @@ class CrawlServer:
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
                 return json.loads(self.rfile.read(n) or b"{}")
+
+            def _raw_body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n)
+
+            def _is_proto(self) -> bool:
+                ct = (self.headers.get("Content-Type") or "").lower()
+                return "protobuf" in ct or "grpc" in ct
+
+            def _proto(self, code: int, payload: bytes):
+                """One gRPC-framed protobuf message as the whole body."""
+                body = wire.frame(payload)
+                self.send_response(code)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self):  # noqa: N802 — http.server contract
                 parts = [p for p in self.path.split("/") if p]
@@ -125,6 +146,15 @@ class CrawlServer:
                 parts = [p for p in self.path.split("/") if p]
                 if len(parts) == 2 and parts[0] == "jobs":
                     outer._handle_status(self, parts[1])
+                elif parts == ["worker_id"]:
+                    # GetWorkerID RPC (proto :30); proto clients get a
+                    # framed WorkerID message, others JSON
+                    if self._is_proto() or "protobuf" in (
+                            self.headers.get("Accept") or ""):
+                        self._proto(200, wire.WORKER_ID.encode(
+                            {"ID": outer.worker_id}))
+                    else:
+                        self._json(200, {"ID": outer.worker_id})
                 else:
                     self._json(404, {"error": "unknown endpoint"})
 
@@ -134,6 +164,9 @@ class CrawlServer:
 
     # ---- endpoint bodies -------------------------------------------------
     def _handle_job_stream(self, h):
+        if h._is_proto():
+            self._handle_job_stream_proto(h)
+            return
         req = h._body()
         spec = JobSpec(**req["spec"])
         eng = CrawlEngine(
@@ -189,10 +222,78 @@ class CrawlServer:
             with self._lock:
                 self.done.add(spec.job_id)
 
+    def _handle_job_stream_proto(self, h):
+        """AddDomainAndListen over the wire codec: the request body is ONE
+        DomainOpt message (raw, as gRPC unary requests carry it — a bare
+        message body is also accepted without the 5-byte frame); the
+        response streams gRPC-framed PageHTML messages — one per shipped
+        page, jobID carried IN the message like the reference stream
+        (proto :169-179) — and ends with a framed Status. The job id is
+        server-assigned (the reference's subscription model); it is also
+        echoed in the X-Job-Id header for non-stream control calls."""
+        body = h._raw_body()
+        if len(body) >= 5 and body[0] in (0, 1):
+            try:  # tolerate a framed unary request
+                body = next(wire.unframe(body))
+            except ValueError:
+                pass
+        opt = wire.DOMAIN_OPT.decode(body)
+        job_id = "sub-" + uuid.uuid4().hex[:12]
+        spec = JobSpec(job_id=job_id, **wire.spec_kwargs_from_domainopt(opt))
+        eng = CrawlEngine(self.spark, spec, self.pages, self.robots,
+                          shuffle_partitions=self.nparts)
+        with self._lock:
+            self.jobs[job_id] = eng
+        h.send_response(200)
+        h.send_header("Content-Type", "application/x-protobuf")
+        h.send_header("X-Job-Id", job_id)
+        h.send_header("Transfer-Encoding", "chunked")
+        h.end_headers()
+
+        def send_chunk(data: bytes):
+            h.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            h.wfile.flush()
+
+        truncated = False
+        try:
+            for batch in eng.subscribe():
+                shipped, sh_trunc = _df_rows(
+                    batch["shipped"], self.stream_row_cap)
+                truncated = truncated or sh_trunc
+                for row in shipped:
+                    send_chunk(wire.frame(wire.PAGE_HTML.encode(
+                        wire.pagehtml_from_row(row, job_id))))
+            with self._lock:
+                self.done.add(job_id)
+            send_chunk(wire.frame(wire.STATUS.encode(
+                {"success": not truncated,
+                 "error": "truncated: stream_row_cap exceeded"
+                 if truncated else ""})))
+            h.wfile.write(b"0\r\n\r\n")
+            h.wfile.flush()
+        finally:
+            with self._lock:
+                self.done.add(job_id)
+
     def _handle_pages(self, h, job_id: str):
         eng = self.jobs.get(job_id)
         if eng is None:
-            h._json(404, {"error": f"no job {job_id}"})
+            if h._is_proto():
+                h._proto(404, wire.STATUS.encode(
+                    {"success": False, "error": f"no job {job_id}"}))
+            else:
+                h._json(404, {"error": f"no job {job_id}"})
+            return
+        if h._is_proto():
+            # AddPages RPC: the body is a stream of framed PageRequest
+            # messages (proto :159-167); respond with a framed Status
+            pushes = [
+                {"url": req["url"], "meta": req["metaStr"]}
+                for req in (wire.PAGE_REQUEST.decode(p)
+                            for p in wire.unframe(h._raw_body()))
+            ]
+            eng.add_pushes(pushes)
+            h._proto(200, wire.STATUS.encode({"success": True}))
             return
         pushes = h._body().get("pushes") or []
         eng.add_pushes(pushes)
@@ -215,12 +316,22 @@ class CrawlServer:
         ))
 
     def _handle_cancel(self, h, job_id: str):
+        """CancelJob RPC (proto :28): proto clients may send a framed (or
+        bare) JobID body — the path id wins on mismatch — and receive a
+        framed Status; JSON clients keep the JSON view."""
         eng = self.jobs.get(job_id)
         if eng is None:
-            h._json(404, {"error": f"no job {job_id}"})
+            if h._is_proto():
+                h._proto(404, wire.STATUS.encode(
+                    {"success": False, "error": f"no job {job_id}"}))
+            else:
+                h._json(404, {"error": f"no job {job_id}"})
             return
         eng.cancel()
-        h._json(200, {"job_id": job_id, "cancelled": True})
+        if h._is_proto():
+            h._proto(200, wire.STATUS.encode({"success": True}))
+        else:
+            h._json(200, {"job_id": job_id, "cancelled": True})
 
     # ---- lifecycle -------------------------------------------------------
     def start(self):
