@@ -454,6 +454,12 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents"))
 
 
+def q_lm_surprisal(spark, sf_dir):
+    from ideacrawler_spark.textops.analysis import lm_surprisal
+
+    return lm_surprisal(_load(spark, sf_dir, "documents"))
+
+
 # ---- relational sanity (windowed agg + broadcast join shapes) -------------
 
 
@@ -928,6 +934,25 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_pjpeg_features(spark, sf_dir):
+    """Progressive-JPEG (SOF2) decode through the Spark surface: the
+    engine runs the full T.81 Annex G multi-scan path (DC first +
+    refinement, AC spectral selection with EOB runs, two successive-
+    approximation passes — textops/jpeg.py) on solid-gray fixtures
+    chosen to decode bit-exactly, so the oracle re-derives dims, decode
+    provenance, and per-channel means arithmetically."""
+    from ideacrawler_spark.textops.multimodal import (
+        extract_features, synth_media)
+
+    feats = extract_features(synth_media(spark, n=0, n_pjpeg=12))
+    return feats.select(
+        "media_id", "kind", "dec_status", "dec_width", "dec_height",
+        F.col("feat").getItem(2).cast("int").alias("mean_r"),
+        F.col("feat").getItem(3).cast("int").alias("mean_g"),
+        F.col("feat").getItem(4).cast("int").alias("mean_b"),
+    )
+
+
 def q_frame_features(spark, sf_dir):
     """Sampled-frame decode over MJPEG-in-MP4 videos: the engine parses
     stts/stsz/stco sample tables from the container BYTES, slices each
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "lm_surprisal": q_lm_surprisal,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1001,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "source_stats": q_source_stats,
         "multimodal_features": q_multimodal_features,
+        "pjpeg_features": q_pjpeg_features,
         "frame_features": q_frame_features,
         "pipeline_curation": q_pipeline_curation,
     }
@@ -1352,6 +1379,26 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                      AS re_tokens,
                    length(text)::INT AS n_chars_computed
             FROM documents
+        """,
+        "lm_surprisal": """
+            -- corpus-trained unigram-LM surprisal in whole bits:
+            -- per token, bitlen(N) - bitlen(cnt(w)) where bitlen is the
+            -- binary-string length (identical in Spark F.bin and DuckDB
+            -- bin — no float log2 anywhere)
+            WITH wrd AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            counts AS (SELECT w, count(*)::BIGINT AS cnt FROM wrd GROUP BY w),
+            tot AS (SELECT sum(cnt)::BIGINT AS N FROM counts),
+            scored AS (
+              SELECT wrd.doc_id,
+                     (length(bin(tot.N)) - length(bin(counts.cnt)))::BIGINT
+                       AS bits
+              FROM wrd JOIN counts USING (w) CROSS JOIN tot)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(bits)::BIGINT AS surprisal_bits,
+                   ((100 * sum(bits)) // count(*))::BIGINT AS mean_bits_x100
+            FROM scored GROUP BY doc_id
         """,
         "fingerprint": f"""
             WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w
@@ -1761,6 +1808,20 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    NULL::INT AS dec_nsamples,
                    'real' AS dec_status
             FROM range(80, 96) t(i)
+        """,
+        "pjpeg_features": """
+            -- Progressive-JPEG fixtures: solid gray v = 128 + 3*((i*7 % 33)
+            -- - 16) at quality 90 decodes bit-exactly (DC quant step 3
+            -- divides v-128; chroma quantizes to 0), so every decoded
+            -- channel mean equals v and the dims are the declared ones.
+            SELECT i::BIGINT AS media_id, 'image' AS kind,
+                   'real' AS dec_status,
+                   (5 + i % 6)::INT AS dec_width,
+                   (4 + i % 5)::INT AS dec_height,
+                   (128 + 3 * ((i * 7) % 33 - 16))::INT AS mean_r,
+                   (128 + 3 * ((i * 7) % 33 - 16))::INT AS mean_g,
+                   (128 + 3 * ((i * 7) % 33 - 16))::INT AS mean_b
+            FROM range(0, 12) t(i)
         """,
         "frame_features": """
             -- MJPEG-in-MP4 frame sampling (ids 0..15, synth_media

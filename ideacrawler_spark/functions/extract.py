@@ -186,6 +186,11 @@ def extract_resources(html: bytes | str | None, page_url: str) -> List[str]:
 #   //tag[normalize-space()='v']    //tag[normalize-space(@a)='v']
 #   //tag[@price>3]  (numeric >,<,>=,<=,=,!= with number() NaN semantics)
 #   //h2/following-sibling::p   //dt[...]/following-sibling::dd[1]
+#   //li/preceding-sibling::li[1]  ([1] = NEAREST preceding, XPath order)
+#   //tag[@attr]  //tag[not(@attr)]  //tag[A and B]  //tag[A or B]
+#   //tag[text()='v']  //tag[.='v']  //div[span[@id='s']/em]  (nested
+#   child-path existence predicates)  //li[position()>2]  //li[last()-1]
+#   //input[@name='q']/..  (parent step)
 #   (* as a wildcard tag; child and descendant axes; chained predicates;
 #   trailing @attr / text() node selection). String value =
 #   concatenated descendant text of the first match in document order
@@ -246,19 +251,18 @@ def _build_tree(html: bytes | str) -> _MiniNode:
     return b.root
 
 
-_RX_XPATH_STEP = re.compile(
-    r"^([A-Za-z][\w-]*|\*)((?:\[[^\]]+\])*)$"    # tag or *, 0+ [pred]s
-)
-_RX_PREDS = re.compile(r"\[([^\]]+)\]")
-# predicate forms: [@attr='v']  [n]  [contains(@attr,'v')]
-#                  [contains(text(),'v')]
+_RX_XPATH_TAG = re.compile(r"^([A-Za-z][\w-]*|\*)$")
+# predicate leaf forms
 _RX_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)\s*=\s*(['\"])(.*?)\2$")
+_RX_PRED_ATTR_PRESENT = re.compile(r"^@([\w-]+)$")
 _RX_PRED_POS = re.compile(r"^(\d+)$")
-_RX_PRED_POSITION_EQ = re.compile(r"^position\(\)\s*=\s*(\d+)$")
+_RX_PRED_POSITION_CMP = re.compile(
+    r"^position\(\)\s*(>=|<=|!=|>|<|=)\s*(\d+)$")
+_RX_PRED_LAST_OFF = re.compile(r"^last\(\)\s*-\s*(\d+)$")
 _RX_PRED_CONTAINS = re.compile(
-    r"^contains\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
+    r"^contains\(\s*(?:@([\w-]+)|text\(\)|\.)\s*,\s*(['\"])(.*?)\2\s*\)$")
 _RX_PRED_STARTS = re.compile(
-    r"^starts-with\(\s*(?:@([\w-]+)|text\(\))\s*,\s*(['\"])(.*?)\2\s*\)$")
+    r"^starts-with\(\s*(?:@([\w-]+)|text\(\)|\.)\s*,\s*(['\"])(.*?)\2\s*\)$")
 # normalize-space(), normalize-space(text()), normalize-space(@attr),
 # compared for equality against a string literal
 _RX_PRED_NORMSPACE = re.compile(
@@ -269,20 +273,171 @@ _RX_PRED_NORMSPACE = re.compile(
 # comparison with NaN is false
 _RX_PRED_ATTR_CMP = re.compile(
     r"^@([\w-]+)\s*(>=|<=|!=|>|<|=)\s*(-?\d+(?:\.\d+)?)$")
+_RX_PRED_TEXT_EQ = re.compile(r"^text\(\)\s*=\s*(['\"])(.*?)\1$")
+_RX_PRED_DOT_EQ = re.compile(r"^\.\s*=\s*(['\"])(.*?)\1$")
+# a relative child path used as an existence predicate: [span],
+# [span[@class='x']], [a/img] — steps joined by '/', child axis only
+_RX_PRED_RELPATH_HEAD = re.compile(r"^[A-Za-z*]")
+
+# list-level predicate kinds (select by position within the candidate
+# list) — these cannot appear inside and/or/not, which are node-wise
+_LIST_PREDS = ("pos", "last", "pos_cmp", "last_off")
 
 
-def _parse_pred(pred: str):
-    """One predicate → ("attr_eq", name, val) | ("pos", n) |
-    ("contains_attr", name, val) | ("contains_text", val) |
-    ("starts_attr", name, val) | ("starts_text", val) |
-    ("ns_eq", kind, name, val) | ("attr_cmp", name, op, num) | None."""
+def _split_top(s: str, seps: tuple) -> list:
+    """Split ``s`` on any of the word separators in ``seps`` at top level
+    (outside quotes, parens, and brackets). Returns [part, sep, part, ...]
+    — parts interleaved with the separators found."""
+    out, cur, q, depth = [], [], None, 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0:
+            matched = None
+            for sep in seps:
+                token = f" {sep} "
+                if s.startswith(token, i):
+                    matched = sep
+                    break
+            if matched:
+                out.append("".join(cur))
+                out.append(matched)
+                cur = []
+                i += len(matched) + 2
+                continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _split_preds(predstr: str):
+    """Split a run of ``[..][..]`` into predicate bodies, respecting
+    nested brackets ([tr[td]] is ONE predicate) and quoted text. Returns
+    None if the string is not a balanced bracket run."""
+    preds, cur, q, depth = [], [], None, 0
+    for ch in predstr:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            continue
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth < 0:
+                return None
+            if depth == 0:
+                preds.append("".join(cur))
+                cur = []
+                continue
+        elif depth == 0:
+            return None  # text between predicate groups
+        cur.append(ch)
+    if depth != 0 or q is not None:
+        return None
+    return preds
+
+
+def _split_step(p: str):
+    """One path component → (tag, [pred bodies]) or None."""
+    cut = p.find("[")
+    tag, predstr = (p, "") if cut < 0 else (p[:cut], p[cut:])
+    if not _RX_XPATH_TAG.match(tag):
+        return None
+    preds = _split_preds(predstr) if predstr else []
+    if preds is None:
+        return None
+    return tag, preds
+
+
+def _parse_rel_path(s: str):
+    """A relative child path for existence predicates ([span/em],
+    [td[@class='x']]): '/'-joined steps, child axis only. Returns
+    [(tag, [parsed preds]), ...] or None."""
+    segs, cur, q, depth = [], [], None, 0
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "/" and depth == 0:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    segs.append("".join(cur))
+    steps = []
+    for seg in segs:
+        if seg == "":
+            return None  # leading/double slash — not a relative path
+        parsed = _split_step(seg)
+        if parsed is None:
+            return None
+        tag, raw_preds = parsed
+        preds = []
+        for raw in raw_preds:
+            pr = _parse_pred(raw)
+            if pr is None:
+                return None
+            preds.append(pr)
+        steps.append((tag, preds))
+    return steps or None
+
+
+def _parse_leaf(pred: str):
+    """One atomic predicate → tagged tuple or None (outside the subset)."""
+    pred = pred.strip()
     m = _RX_PRED_ATTR_EQ.match(pred)
     if m:
         return ("attr_eq", m.group(1), m.group(3))
-    m = _RX_PRED_POS.match(pred) or _RX_PRED_POSITION_EQ.match(pred)
+    m = _RX_PRED_POS.match(pred)
     if m:
         n = int(m.group(1))
         return ("pos", n) if n >= 1 else None  # XPath positions are 1-based
+    m = _RX_PRED_POSITION_CMP.match(pred)
+    if m:
+        op, n = m.group(1), int(m.group(2))
+        if op == "=":
+            return ("pos", n) if n >= 1 else None
+        return ("pos_cmp", op, n)
+    m = _RX_PRED_LAST_OFF.match(pred)
+    if m:
+        return ("last_off", int(m.group(1)))
+    m = _RX_PRED_ATTR_PRESENT.match(pred)
+    if m:
+        return ("attr_present", m.group(1))
     m = _RX_PRED_CONTAINS.match(pred)
     if m:
         if m.group(1) is not None:
@@ -302,9 +457,52 @@ def _parse_pred(pred: str):
     m = _RX_PRED_ATTR_CMP.match(pred)
     if m:
         return ("attr_cmp", m.group(1), m.group(2), float(m.group(3)))
+    m = _RX_PRED_TEXT_EQ.match(pred)
+    if m:
+        return ("text_eq", m.group(2))
+    m = _RX_PRED_DOT_EQ.match(pred)
+    if m:
+        return ("dot_eq", m.group(2))
     if re.match(r"^(?:position\(\)\s*=\s*)?last\(\)$", pred):
         return ("last",)
+    if _RX_PRED_RELPATH_HEAD.match(pred):
+        steps = _parse_rel_path(pred)
+        if steps is not None:
+            return ("exists", steps)
     return None
+
+
+def _parse_pred(pred: str):
+    """One predicate, possibly a boolean expression:
+    ``A and B``, ``A or B`` (or binds looser than and — standard XPath),
+    ``not(X)``, parenthesized groups, or an atomic leaf. Positional/
+    last() forms are list-selective, not boolean, so they may only appear
+    as the WHOLE predicate. Returns a tagged tuple or None."""
+    pred = pred.strip()
+    parts = _split_top(pred, ("or",))
+    if len(parts) > 1:
+        terms = [_parse_pred(parts[i]) for i in range(0, len(parts), 2)]
+        if any(t is None or t[0] in _LIST_PREDS for t in terms):
+            return None
+        return ("or", terms)
+    parts = _split_top(pred, ("and",))
+    if len(parts) > 1:
+        terms = [_parse_pred(parts[i]) for i in range(0, len(parts), 2)]
+        if any(t is None or t[0] in _LIST_PREDS for t in terms):
+            return None
+        return ("and", terms)
+    if pred.startswith("not(") and pred.endswith(")"):
+        inner = _parse_pred(pred[4:-1])
+        if inner is None or inner[0] in _LIST_PREDS:
+            return None
+        return ("not", inner)
+    if pred.startswith("(") and pred.endswith(")"):
+        # a parenthesized boolean group; reject if the parens don't
+        # actually match each other ("(a) or (b)" splits above first)
+        inner = _parse_pred(pred[1:-1])
+        if inner is not None and inner[0] not in _LIST_PREDS:
+            return inner
+    return _parse_leaf(pred)
 
 
 def _xpath_normalize_space(s: str) -> str:
@@ -375,22 +573,31 @@ def _parse_xpath(path: str):
                 return None
             terminal = ("attr", p[1:])
             break
-        axis = "descendant" if descendant else "child"
-        if p.startswith("following-sibling::"):
+        if p in ("..", "parent::node()", "parent::*"):
             if descendant:
-                return None  # a//following-sibling::b is out of subset
-            axis = "following-sibling"
-            p = p[len("following-sibling::"):]
-        m = _RX_XPATH_STEP.match(p)
-        if m is None:
+                return None  # //.. is out of subset
+            steps.append(("parent", "*", []))
+            idx += 1
+            continue
+        axis = "descendant" if descendant else "child"
+        for sib in ("following-sibling", "preceding-sibling"):
+            if p.startswith(sib + "::"):
+                if descendant:
+                    return None  # a//following-sibling::b is out of subset
+                axis = sib
+                p = p[len(sib) + 2:]
+                break
+        parsed = _split_step(p)
+        if parsed is None:
             return None
+        tag, raw_preds = parsed
         preds = []
-        for raw in _RX_PREDS.findall(m.group(2) or ""):
+        for raw in raw_preds:
             pred = _parse_pred(raw)
             if pred is None:
                 return None
             preds.append(pred)
-        steps.append((axis, m.group(1).lower(), preds))
+        steps.append((axis, tag.lower(), preds))
         descendant = False
         idx += 1
     if not steps:
@@ -415,72 +622,28 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
     context node), using a lazily-built parent map."""
     current = [root]
     parent_of = None
+
+    def parents_map():
+        nonlocal parent_of
+        if parent_of is None:
+            parent_of = {}
+
+            def _walk(n):
+                for c in n.children:
+                    if isinstance(c, _MiniNode):
+                        parent_of[id(c)] = n
+                        _walk(c)
+
+            _walk(root)
+        return parent_of
+
     for axis, tag, preds in steps:
         descendant = axis == "descendant"
-
-        def filt(kids, pred):
-            if pred[0] == "pos":
-                return [kids[pred[1] - 1]] if len(kids) >= pred[1] else []
-            if pred[0] == "last":
-                return kids[-1:]
-            if pred[0] == "attr_eq":
-                return [c for c in kids
-                        if (c.attrs.get(pred[1]) or "") == pred[2]]
-            if pred[0] == "contains_attr":
-                return [c for c in kids
-                        if pred[2] in (c.attrs.get(pred[1]) or "")]
-            if pred[0] == "contains_text":
-                return [c for c in kids
-                        if pred[1] in _node_string_value(c)]
-            if pred[0] == "starts_attr":
-                return [c for c in kids
-                        if (c.attrs.get(pred[1]) or "").startswith(pred[2])]
-            if pred[0] == "starts_text":
-                return [c for c in kids
-                        if _node_string_value(c).startswith(pred[1])]
-            if pred[0] == "ns_eq":
-                _, kind, name, val = pred
-                out = []
-                for c in kids:
-                    if kind == "attr":
-                        s = c.attrs.get(name)
-                        if s is None:
-                            continue
-                    else:  # text() or bare normalize-space() — both take
-                        s = _node_string_value(c)  # the node string value
-                    if _xpath_normalize_space(s) == val:
-                        out.append(c)
-                return out
-            if pred[0] == "attr_cmp":
-                _, name, op, rhs = pred
-                out = []
-                for c in kids:
-                    raw = c.attrs.get(name)
-                    if raw is None:
-                        continue
-                    try:
-                        lhs = float(raw.strip())
-                    except ValueError:
-                        continue  # number() → NaN → comparison false
-                    if _CMP_OPS[op](lhs, rhs):
-                        out.append(c)
-                return out
-            return []
-
         selected = set()
-        if axis == "following-sibling":
-            if parent_of is None:
-                parent_of = {}
-
-                def _walk(n):
-                    for c in n.children:
-                        if isinstance(c, _MiniNode):
-                            parent_of[id(c)] = n
-                            _walk(c)
-
-                _walk(root)
+        if axis in ("following-sibling", "preceding-sibling"):
+            pm = parents_map()
             for n in current:
-                par = parent_of.get(id(n))
+                par = pm.get(id(n))
                 if par is None:
                     continue
                 sibs = [c for c in par.children if isinstance(c, _MiniNode)]
@@ -488,13 +651,29 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
                     at = next(k for k, c in enumerate(sibs) if c is n)
                 except StopIteration:
                     continue
-                kids = [c for c in sibs[at + 1:]
-                        if tag == "*" or c.tag == tag]
+                if axis == "following-sibling":
+                    kids = sibs[at + 1:]
+                else:
+                    # preceding-sibling positions count in REVERSE
+                    # document order: [1] is the NEAREST preceding sibling
+                    kids = sibs[:at][::-1]
+                kids = [c for c in kids if tag == "*" or c.tag == tag]
                 for pred in preds:  # per context node (XPath semantics)
-                    kids = filt(kids, pred)
+                    kids = _filt(kids, pred)
                     if not kids:
                         break
                 selected.update(id(c) for c in kids)
+        elif axis == "parent":
+            pm = parents_map()
+            for n in current:
+                par = pm.get(id(n))
+                if par is not None:
+                    selected.add(id(par))
+            if not selected:
+                return []
+            current = [c for c in _iter_descendants(root)
+                       if id(c) in selected]
+            continue
         else:
             for n in current:
                 parents = [n] + (list(_iter_descendants(n)) if descendant
@@ -504,7 +683,7 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
                             if isinstance(c, _MiniNode)
                             and (tag == "*" or c.tag == tag)]
                     for pred in preds:  # chained, in order (XPath semantics)
-                        kids = filt(kids, pred)
+                        kids = _filt(kids, pred)
                         if not kids:
                             break
                     selected.update(id(c) for c in kids)
@@ -512,6 +691,91 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
             return []
         current = [c for c in _iter_descendants(root) if id(c) in selected]
     return current
+
+
+def _node_test(c: _MiniNode, pred) -> bool:
+    """Node-wise boolean predicate evaluation (everything except the
+    list-selective position/last forms)."""
+    kind = pred[0]
+    if kind == "and":
+        return all(_node_test(c, t) for t in pred[1])
+    if kind == "or":
+        return any(_node_test(c, t) for t in pred[1])
+    if kind == "not":
+        return not _node_test(c, pred[1])
+    if kind == "attr_eq":
+        return (c.attrs.get(pred[1]) or "") == pred[2]
+    if kind == "attr_present":
+        return pred[1] in c.attrs
+    if kind == "contains_attr":
+        return pred[2] in (c.attrs.get(pred[1]) or "")
+    if kind == "contains_text":
+        return pred[1] in _node_string_value(c)
+    if kind == "starts_attr":
+        return (c.attrs.get(pred[1]) or "").startswith(pred[2])
+    if kind == "starts_text":
+        return _node_string_value(c).startswith(pred[1])
+    if kind == "ns_eq":
+        _, k, name, val = pred
+        if k == "attr":
+            s = c.attrs.get(name)
+            if s is None:
+                return False
+        else:  # text() or bare normalize-space() — both take
+            s = _node_string_value(c)  # the node string value
+        return _xpath_normalize_space(s) == val
+    if kind == "attr_cmp":
+        _, name, op, rhs = pred
+        raw = c.attrs.get(name)
+        if raw is None:
+            return False
+        try:
+            lhs = float(raw.strip())
+        except ValueError:
+            return False  # number() → NaN → comparison false
+        return _CMP_OPS[op](lhs, rhs)
+    if kind == "text_eq":
+        # [text()='v']: true if ANY direct child text node equals v
+        # (XPath node-set '=' is existential)
+        return any(isinstance(ch, str) and ch == pred[1]
+                   for ch in c.children)
+    if kind == "dot_eq":
+        return _node_string_value(c) == pred[1]
+    if kind == "exists":
+        # relative child-path existence: [span], [td[@class='x']/a]
+        ctx = [c]
+        for tag, preds in pred[1]:
+            nxt = []
+            for n in ctx:
+                kids = [k for k in n.children if isinstance(k, _MiniNode)
+                        and (tag == "*" or k.tag == tag)]
+                for pr in preds:
+                    kids = _filt(kids, pr)
+                    if not kids:
+                        break
+                nxt.extend(kids)
+            ctx = nxt
+            if not ctx:
+                return False
+        return True
+    return False
+
+
+def _filt(kids: list, pred) -> list:
+    """Apply one predicate to a candidate list: positional forms select
+    by index, everything else filters node-wise via ``_node_test``."""
+    kind = pred[0]
+    if kind == "pos":
+        return [kids[pred[1] - 1]] if len(kids) >= pred[1] else []
+    if kind == "last":
+        return kids[-1:]
+    if kind == "last_off":
+        i = len(kids) - 1 - pred[1]
+        return [kids[i]] if i >= 0 else []
+    if kind == "pos_cmp":
+        _, op, n = pred
+        return [c for i, c in enumerate(kids, 1) if _CMP_OPS[op](i, n)]
+    return [c for c in kids if _node_test(c, pred)]
 
 
 def _node_string_value(node: _MiniNode) -> str:

@@ -183,3 +183,41 @@ def source_stats(docs, strata_col: str = "source"):
                 F.col("_n").cast("int").alias("top_lang_docs"))
     )
     return base.join(top, strata_col)
+
+
+def lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram-LM surprisal in WHOLE BITS — the CCNet-style
+    quality signal (docs whose tokens are corpus-rare score high; fluent
+    common text scores low), made integer-exact so it is oracle-portable:
+    per-token surprisal ≈ -log2 p(w) is approximated by
+    ``bitlen(N) - bitlen(cnt(w))`` where ``bitlen`` is the binary-string
+    length (floor(log2)+1 computed WITHOUT floats — float log2 rounds
+    differently across engines at power-of-two boundaries).
+
+    Train + score in one plan: token unigram counts (one partial-agg
+    groupBy), corpus total as a 1-row broadcast, a hash join back on the
+    token (vocab can exceed broadcast size at 100 TB — the shuffle join
+    on ``w`` is the scale-safe shape, AQE will broadcast when the vocab
+    is small), then a per-doc sum. Output: (doc_id, n_tokens,
+    surprisal_bits, mean_bits_x100) — all integers.
+    """
+    wrd = docs.select("doc_id", F.explode(words_col(text_col)).alias("w"))
+    counts = wrd.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("N"))
+    scored = (
+        wrd.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.col("N")))
+             - F.length(F.bin(F.col("cnt")))).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+    )
+    return scored.withColumn(
+        "mean_bits_x100", F.expr("div(100 * surprisal_bits, n_tokens)")
+    )

@@ -1,19 +1,26 @@
-"""Baseline JPEG codec — stdlib+numpy only, no media libraries.
+"""Baseline + progressive JPEG codec — stdlib+numpy only, no media libs.
 
 Implements the baseline sequential DCT process (ITU-T T.81): marker
 parse (DQT/SOF0/DHT/SOS/DRI, APPn/COM skipped), canonical Huffman
 decode with 0xFF00 byte-unstuffing and RSTn restart handling, dequant,
-inverse zigzag, separable float IDCT, YCbCr→RGB. Supported frames:
-8-bit baseline, 1 or 3 components, 4:4:4 and 4:2:0 sampling. Progressive
-(SOF2), arithmetic coding and 12-bit precision return None — the decoder
-degrades, never raises, matching the WAV/BMP/PNG/MP4 contract
-(multimodal.py).
+inverse zigzag, separable float IDCT, YCbCr→RGB; AND the progressive
+DCT process (SOF2, T.81 Annex G): multi-scan spectral selection +
+successive approximation — DC first/refinement scans, AC first scans
+with EOB-run state, AC refinement scans with correction bits —
+coefficients accumulate across scans, then one batched IDCT
+reconstructs the image. Supported frames: 8-bit, 1 or 3 components,
+4:4:4 and 4:2:0 sampling. Arithmetic coding and 12-bit precision return
+None — the decoder degrades, never raises, matching the
+WAV/BMP/PNG/MP4 contract (multimodal.py).
 
-``make_jpeg`` is the matching encoder (Annex K quant + Huffman tables,
-4:4:4) used by tests; roundtrip checks guard against shared-mistake
-symmetry with two asymmetric probes: a solid-color image must decode
-EXACTLY (DC-only path), and the DCT is cross-checked against a naive
-O(n^4) transform in the tests.
+``make_jpeg`` is the matching baseline encoder (Annex K quant + Huffman
+tables, 4:4:4) used by tests; ``make_progressive_jpeg`` emits a
+multi-scan SOF2 stream (DC first + DC refinement + per-band AC first +
+AC refinement scans) whose decode must equal the baseline decode of the
+SAME coefficients bit for bit — the cross-check that guards both sides.
+Roundtrip checks guard against shared-mistake symmetry with asymmetric
+probes: a solid-color image must decode EXACTLY (DC-only path), and the
+DCT is cross-checked against a naive O(n^4) transform in the tests.
 """
 
 from __future__ import annotations
@@ -261,14 +268,17 @@ def _decode_jpeg_inner(payload: bytes):
     huff_dc, huff_ac = {}, {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    prog_state = None  # progressive coefficient accumulator across scans
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no length
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break  # progressive: reconstruct below; baseline here: None
+        if pos + 4 > len(payload):
             return None
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
@@ -299,7 +309,7 @@ def _decode_jpeg_inner(payload: bytes):
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[0:6])
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -307,10 +317,11 @@ def _decode_jpeg_inner(payload: bytes):
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append(dict(cid=cid, hs=hv >> 4, vs=hv & 0x0F, tq=tq))
-            frame = dict(w=w, h=h, comps=comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = dict(w=w, h=h, comps=comps,
+                         progressive=marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # extended/lossless/arithmetic frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[0:2])
         elif marker == 0xDA:  # SOS
@@ -321,10 +332,31 @@ def _decode_jpeg_inner(payload: bytes):
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(payload, pos + 2 + seglen, frame, scan,
-                                qtables, huff_dc, huff_ac,
-                                restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, pos + 2 + seglen, frame, scan,
+                                    qtables, huff_dc, huff_ac,
+                                    restart_interval)
+            # progressive: T.81 G.2 — each scan deposits a spectral band /
+            # precision slice of the coefficients; decode it and keep
+            # walking markers (Ss, Se, Ah, Al follow the component specs)
+            if len(body) < 4 + 2 * ns:
+                return None
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if prog_state is None:
+                prog_state = _alloc_prog_state(frame)
+                if prog_state is None:
+                    return None
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan, ss, se, ah, al,
+                prog_state, huff_dc, huff_ac, restart_interval)
+            if pos is None:
+                return None
+            continue  # pos is already past this scan's entropy data
         pos += 2 + seglen
+    if prog_state is not None:
+        return _reconstruct_progressive(frame, prog_state, qtables)
     return None
 
 
@@ -383,6 +415,12 @@ def _decode_scan(payload, pos, frame, scan, qtables, huff_dc, huff_ac,
             except _RestartMarker:
                 return None  # unexpected restart mid-MCU
             mcu_count += 1
+    return _planes_to_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, w, h, hmax, vmax):
+    """Upsample subsampled planes, YCbCr→RGB (or passthrough grayscale),
+    crop to declared dims — the shared tail of both decode paths."""
     out = np.zeros((h, w, 3))
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -423,6 +461,239 @@ def _decode_block(reader, dc_table, ac_table):
         blk[k] = _extend(reader.bits(s), s)
         k += 1
     return blk
+
+
+# -- progressive decode (T.81 Annex G) --------------------------------------
+
+def _alloc_prog_state(frame):
+    """Validate the frame and allocate per-component int32 coefficient
+    grids of shape (blocks_y, blocks_x, 64) in ZIGZAG order, sized to the
+    interleaved MCU grid (covers non-interleaved traversal too)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if not all(c["hs"] in (1, 2) and c["vs"] in (1, 2) for c in comps):
+        return None
+    if w * h > MAX_DECODE_PIXELS:
+        return None  # dimension-bomb cap, same as baseline
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+             for c in comps]
+    return dict(coefs=coefs, mcux=mcux, mcuy=mcuy, hmax=hmax, vmax=vmax)
+
+
+def _nonint_dims(frame, state, c):
+    """Non-interleaved block-grid dims for one component (T.81 A.2.2:
+    ceil(comp samples / 8) per axis)."""
+    cw = -(-frame["w"] * c["hs"] // state["hmax"])
+    ch = -(-frame["h"] * c["vs"] // state["vmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(payload, pos, frame, scan, ss, se, ah, al, state,
+                      huff_dc, huff_ac, restart_interval):
+    """Decode one progressive scan into the coefficient grids. Returns
+    the payload position just past this scan's entropy data, or None on
+    malformed/truncated input (the whole decode then fails — no partial
+    renders for adversarial bytes)."""
+    comps = frame["comps"]
+    by_cid = {c["cid"]: (i, c) for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        hit = by_cid.get(cs)
+        if hit is None:
+            return None
+        ci, c = hit
+        if ss == 0:
+            if ah == 0 and td not in huff_dc:
+                return None
+            sel.append((ci, c, huff_dc.get(td), None))
+        else:
+            if ta not in huff_ac:
+                return None
+            sel.append((ci, c, None, huff_ac[ta]))
+    if ss > se or se > 63 or (ss == 0) != (se == 0):
+        return None  # G.1.1.1.1: DC and AC bands never mix in one scan
+    if ss > 0 and len(sel) != 1:
+        return None  # AC scans are single-component (G.1.1.1.1)
+    reader = _BitReader(payload, pos)
+    try:
+        if ss == 0:
+            _prog_dc_scan(reader, sel, frame, state, ah, al,
+                          restart_interval)
+        else:
+            _prog_ac_scan(reader, sel[0], frame, state, ss, se, ah, al,
+                          restart_interval)
+    except (_RestartMarker, EOFError, IndexError):
+        return None
+    # skip to the next marker (past pad bits / an already-read RST)
+    p = reader.pos
+    d = payload
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 \
+                and not 0xD0 <= d[p + 1] <= 0xD7:
+            return p
+        p += 1
+    return p
+
+
+def _prog_dc_scan(reader, sel, frame, state, ah, al, ri):
+    """DC scan: first pass (Ah=0) codes DIFF values of DC>>Al exactly
+    like baseline; refinement (Ah>0) is one raw bit per block appended
+    at position Al. Interleaved when ns>1 (MCU order), else the
+    component's own block raster."""
+    pred = [0] * len(sel)
+    units = 0
+    if len(sel) > 1:
+        walk = [(my, mx) for my in range(state["mcuy"])
+                for mx in range(state["mcux"])]
+        for my, mx in walk:
+            if ri and units and units % ri == 0:
+                reader.sync_restart()
+                pred = [0] * len(sel)
+            for si, (ci, c, dtab, _) in enumerate(sel):
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        blk = state["coefs"][ci][my * c["vs"] + v,
+                                                 mx * c["hs"] + hh]
+                        pred[si] = _prog_dc_block(
+                            reader, blk, dtab, pred[si], ah, al)
+            units += 1
+    else:
+        ci, c, dtab, _ = sel[0]
+        bh, bw = _nonint_dims(frame, state, c)
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and units and units % ri == 0:
+                    reader.sync_restart()
+                    pred = [0]
+                pred[0] = _prog_dc_block(
+                    reader, state["coefs"][ci][by, bx], dtab, pred[0],
+                    ah, al)
+                units += 1
+
+
+def _prog_dc_block(reader, blk, dtab, pred, ah, al):
+    if ah == 0:
+        t = _decode_huff(reader, dtab)
+        pred += _extend(reader.bits(t), t) if t else 0
+        blk[0] = pred << al
+    elif reader.bit():
+        blk[0] |= 1 << al  # two's-complement append works for negatives
+    return pred
+
+
+def _prog_ac_scan(reader, sel1, frame, state, ss, se, ah, al, ri):
+    ci, c, _, atab = sel1
+    bh, bw = _nonint_dims(frame, state, c)
+    eobrun = 0
+    units = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and units and units % ri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            blk = state["coefs"][ci][by, bx]
+            if ah == 0:
+                eobrun = _first_ac_block(reader, blk, ss, se, al, eobrun,
+                                         atab)
+            else:
+                eobrun = _refine_ac_block(reader, blk, ss, se, al, eobrun,
+                                          atab)
+            units += 1
+
+
+def _first_ac_block(reader, blk, ss, se, al, eobrun, atab):
+    """AC first scan (G.1.2.2): run-length + size codes place new
+    coefficients at precision Al; EOBn codes start an end-of-band run
+    covering this and the next (run-1) blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run = (1<<r) + next r bits
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise EOFError
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac_block(reader, blk, ss, se, al, eobrun, atab):
+    """AC refinement scan (G.1.2.3): for every already-nonzero
+    coefficient visited, one correction bit (1 → add 2^Al away from
+    zero); run/size codes with s=1 insert NEW ±2^Al coefficients after a
+    run of zero-history positions; EOBn refines the rest of the band."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, atab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history slots, no new coefficient
+            elif s == 1:
+                val = p1 if reader.bit() else -p1
+            else:
+                raise EOFError  # s>1 is malformed in a refinement scan
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (abs(int(blk[k])) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                    k += 1
+                    continue
+                if r == 0:
+                    if s == 1:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remaining nonzeros
+            if blk[k] != 0 and reader.bit() \
+                    and (abs(int(blk[k])) & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, state, qtables):
+    """Dequant + batched IDCT over the accumulated coefficient grids,
+    then the shared upsample/color tail."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            return None
+        zz = state["coefs"][ci]
+        by, bx = zz.shape[:2]
+        coef = np.zeros((by, bx, 64))
+        coef[:, :, ZIGZAG] = zz  # de-zigzag each block
+        coef = coef.reshape(by, bx, 8, 8) * q
+        # batched idct2: out = C.T @ coef @ C per block
+        px = np.einsum("ki,yxkl,lj->yxij", _C, coef, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _planes_to_rgb(planes, comps, w, h,
+                          state["hmax"], state["vmax"])
 
 
 # -- encoder (tests + fixture generation) -----------------------------------
@@ -527,3 +798,208 @@ def _encode_block(wr, zz, pred, ci, dc_codes, ac_codes):
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
         wr.put(code, length)
+
+
+# -- progressive encoder (tests + fixture generation) ------------------------
+
+def _quantized_planes(rgb: np.ndarray, quality: int):
+    """Shared front half of both encoders: color transform + DCT +
+    quantize. Returns (ql, qc, zz) with zz a list of (bh, bw, 64) int32
+    zigzag-order coefficient grids for Y, Cb, Cr (4:4:4)."""
+    h, w, _ = rgb.shape
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
+        + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
+        - 0.081312 * f[:, :, 2] + 128
+    ql = _quality_scale(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(QUANT_CHROMA, quality).reshape(8, 8)
+    bw, bh = -(-w // 8), -(-h // 8)
+    zz = []
+    for plane, q in ((y, ql), (cb, qc), (cr, qc)):
+        grid = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.full((8, 8), 128.0)
+                ys, xs = by * 8, bx * 8
+                seg = plane[ys:min(ys + 8, h), xs:min(xs + 8, w)]
+                block[:seg.shape[0], :seg.shape[1]] = seg
+                if seg.shape[0] < 8:
+                    block[seg.shape[0]:, :] = block[seg.shape[0] - 1, :]
+                if seg.shape[1] < 8:
+                    block[:, seg.shape[1]:] = \
+                        block[:, seg.shape[1] - 1][:, None]
+                coef = dct2(block - 128.0)
+                grid[by, bx] = np.rint(coef / q).astype(
+                    np.int64).reshape(64)[ZIGZAG]
+        zz.append(grid)
+    return ql, qc, zz
+
+
+def _enc_ac_first(wr, band_vals, ac_codes):
+    """One block's AC first scan at precision Al: band_vals are the
+    point-transformed (v/2^Al toward zero) band coefficients. Plain EOB
+    (run of 1) ends the block — always legal, never accumulates runs."""
+    last_nz = -1
+    for i, v in enumerate(band_vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = int(band_vals[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.put(*ac_codes[0xF0])
+            run -= 16
+        s = abs(v).bit_length()
+        wr.put(*ac_codes[(run << 4) | s])
+        wr.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(band_vals) - 1:
+        wr.put(*ac_codes[0x00])  # EOB (eobrun = 1)
+
+
+def make_progressive_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2)
+    4:4:4 JPEG: interleaved DC first scan at Al=1 + DC refinement, then
+    per-component AC spectral-selection scans (bands 1-5 / 6-63 for Y,
+    1-63 for chroma) at Al=2 with two successive-approximation
+    refinement passes (2→1, 1→0). Decoding this stream must reproduce
+    the baseline ``make_jpeg`` decode of the same image (same quantized
+    coefficients)."""
+    h, w, _ = rgb.shape
+    ql, qc, zz = _quantized_planes(rgb, quality)
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bh, bw = zz[0].shape[:2]
+
+    def seg(marker, body):
+        return b"\xFF" + bytes([marker]) \
+            + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comps_spec, ss, se, ah, al):
+        body = bytes([len(comps_spec)])
+        for cs, td, ta in comps_spec:
+            body += bytes([cs, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, bytes([0]) + bytes(
+        int(ql.reshape(64)[ZIGZAG[i]]) for i in range(64)))
+    out += seg(0xDB, bytes([1]) + bytes(
+        int(qc.reshape(64)[ZIGZAG[i]]) for i in range(64)))
+    for tc, th, bits, vals in ((0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+                               (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+                               (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                               (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+               + bytes([3, 0x11, 1]))
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic-shift point xform)
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+    dc_tabs = (dc_l, dc_c, dc_c)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                v = int(zz[ci][by, bx, 0]) >> 1
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = abs(diff).bit_length()
+                wr.put(*dc_tabs[ci][t])
+                if t:
+                    wr.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    wr.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) \
+        + bytes(wr.out)
+
+    # scan 2: interleaved DC refinement, one raw bit per block (Al=0)
+    wr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                wr.put(int(zz[ci][by, bx, 0]) & 1, 1)
+    wr.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) \
+        + bytes(wr.out)
+
+    ac_tabs = (ac_l, ac_c, ac_c)
+    bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+
+    # AC first scans at Al=2
+    for ci, ss, se in bands:
+        wr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(zz[ci][by, bx, k])
+                    vals.append((abs(v) >> 2) * (1 if v > 0 else -1))
+                _enc_ac_first(wr, vals, ac_tabs[ci])
+        wr.flush()
+        out += sos([(ci + 1, 0, ci and 1)], ss, se, 0, 2) + bytes(wr.out)
+
+    # AC refinement scans: Ah=2→Al=1, then Ah=1→Al=0
+    for ah, al in ((2, 1), (1, 0)):
+        for ci, ss, se in bands:
+            wr = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    triples = []
+                    for k in range(ss, se + 1):
+                        v = int(zz[ci][by, bx, k])
+                        triples.append((v, (abs(v) >> ah) != 0,
+                                        (abs(v) >> al) & 1))
+                    _enc_ac_refine_impl(wr, triples, ac_tabs[ci])
+            wr.flush()
+            out += sos([(ci + 1, 0, ci and 1)], ss, se, ah, al) \
+                + bytes(wr.out)
+
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _enc_ac_refine_impl(wr, triples, ac_codes):
+    """One block's AC refinement: emit run/1 codes for NEW coefficients
+    (zero history, refinement bit set), correction bits for history
+    coefficients in position order, ZRL for 16 zero-history skips, EOB
+    plus trailing correction bits."""
+    last_new = -1
+    for i, (_, hist, nb) in enumerate(triples):
+        if not hist and nb:
+            last_new = i
+    run, corr = 0, []
+    for i in range(last_new + 1):
+        v, hist, nb = triples[i]
+        if hist:
+            corr.append(nb)
+            continue
+        if not nb:
+            run += 1
+            continue
+        while run > 15:
+            wr.put(*ac_codes[0xF0])
+            for b in corr:
+                wr.put(b, 1)
+            corr = []
+            run -= 16
+        wr.put(*ac_codes[(run << 4) | 1])
+        wr.put(1 if v > 0 else 0, 1)
+        for b in corr:
+            wr.put(b, 1)
+        corr = []
+        run = 0
+    if last_new < len(triples) - 1:
+        wr.put(*ac_codes[0x00])  # EOB (eobrun = 1)
+        for i in range(last_new + 1, len(triples)):
+            _, hist, nb = triples[i]
+            if hist:
+                wr.put(nb, 1)

@@ -6,10 +6,11 @@ web formats — all stdlib+numpy, no media libraries, parsing actual bytes
 and never trusting metadata columns: WAV (RIFF chunk walk + PCM16), BMP
 (BITMAPINFOHEADER + 24bpp rows), PNG (zlib inflate + filters 0-4,
 ``decode_png``), mp4 container metadata (ISO-BMFF box walk,
-``decode_mp4``), and baseline JPEG (full entropy decode + IDCT,
-textops/jpeg.py via ``decode_jpeg_features``). Only exotic formats and
-frame-level video decode fall back to the clearly-marked ``_fake_decode``
-stub — swap it for PIL/ffmpeg on a real cluster.
+``decode_mp4``), and JPEG — baseline AND progressive/SOF2 (full entropy
+decode + IDCT, textops/jpeg.py via ``decode_jpeg_features``). Only
+exotic formats (arithmetic-coded/12-bit JPEG, lossless) fall back to the
+clearly-marked ``_fake_decode`` stub — swap it for PIL/ffmpeg on a real
+cluster.
 
 Pattern: ``mapInPandas`` over an iterator of Arrow batches so one task
 never materializes more than one batch of binary payloads — the shape that
@@ -584,8 +585,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     from the payload itself (NULL for stub-decoded rows). ``dec_status``
     records decode PROVENANCE — 'real' for rows whose features came from a
     genuine byte-level decode, 'stub' for rows that fell through to
-    ``_fake_decode`` (progressive JPEG, undecodable formats) — so
-    downstream curation can filter on it (VERDICT r04 next #7)."""
+    ``_fake_decode`` (arithmetic/12-bit JPEG, undecodable formats —
+    progressive/SOF2 is REAL-decoded since round 5) — so downstream
+    curation can filter on it (VERDICT r04 next #7)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -789,7 +791,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0,
-                n_mjpeg: int = 0):
+                n_mjpeg: int = 0, n_pjpeg: int = 0):
     """Deterministic media table for tests: REAL BMP bytes for images,
     REAL WAV PCM bytes for audio (both fully arithmetic — the DuckDB
     oracle re-derives n_bytes/checksum/dims/duration from the same
@@ -875,6 +877,25 @@ def synth_media(spark, n: int = 64, n_png: int = 0, n_mp4: int = 0,
                 payload=make_mp4_mjpeg(w, h, frames, frame_ms),
                 mime="video/mp4", width=w, height=h,
                 duration_ms=nf * frame_ms,
+            )
+        )
+    # Progressive (SOF2) JPEG images: solid gray v ≡ 128 (mod 3) decodes
+    # BIT-EXACTLY (same invariant as the MJPEG frames above — DC quant
+    # step 3 at quality 90 divides v-128; chroma quantizes to 0), so the
+    # DuckDB oracle re-derives dims + channel means arithmetically while
+    # the engine runs the full multi-scan Annex G decode path.
+    base_pj = n + n_png + n_mp4 + n_mjpeg
+    for i in range(base_pj, base_pj + n_pjpeg):
+        from ideacrawler_spark.textops.jpeg import make_progressive_jpeg
+
+        w, h = 5 + i % 6, 4 + i % 5
+        v = 128 + 3 * (((i * 7) % 33) - 16)
+        rows.append(
+            dict(
+                media_id=i, kind="image",
+                payload=make_progressive_jpeg(
+                    np.full((h, w, 3), v, dtype=np.uint8), quality=90),
+                mime="image/jpeg", width=w, height=h, duration_ms=None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

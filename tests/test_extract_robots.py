@@ -330,3 +330,52 @@ def test_xpath_following_sibling_axis():
     # no sibling → empty; descendant+sibling combo is out of subset
     assert x(h, "//p/following-sibling::h2[5]") == ""
     assert x(h, "//dl//following-sibling::dd") == ""
+
+
+def test_xpath_boolean_predicates_and_existence():
+    """Boolean connectives + attribute/child existence — the biggest
+    remaining antchfx-parity slice (job.go:233-269 evaluates arbitrary
+    xpath): [@attr], [not(...)], [A and B], [A or B] (or binds looser),
+    [text()='v'], [.='v'], and nested relative-path existence predicates
+    like //div[span[@id='s']] as real scrapers write them."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><body>"
+         b"<a href='/1' rel='nofollow'>one</a><a href='/2'>two</a>"
+         b"<div class='c'><span id='s'>in</span><em>e</em></div>"
+         b"<div class='d'><span>other</span></div>"
+         b"<p>exact</p>"
+         b"</body></html>")
+    assert x(h, "//a[@rel]") == "one"
+    assert x(h, "//a[not(@rel)]") == "two"
+    assert x(h, "//a[@href='/2' and not(@rel)]") == "two"
+    assert x(h, "//a[@rel or @href='/2']") == "one"
+    # or binds looser than and: (@rel and @href='/9') or @href='/2'
+    assert x(h, "//a[@rel and @href='/9' or @href='/2']") == "two"
+    assert x(h, "//p[text()='exact']") == "exact"
+    assert x(h, "//span[.='other']") == "other"
+    assert x(h, "//div[span[@id='s']]/em") == "e"
+    assert x(h, "//div[not(span[@id])]") == "other"
+    assert x(h, "//div[span/@id]") == ""  # @ inside rel-path: out of subset
+    assert x(h, "//a[foo(@x)]") == ""     # unknown function stays empty
+    assert x(h, "//li[1 and @x]") == ""   # positional can't be boolean
+
+
+def test_xpath_position_comparisons_and_sibling_axes():
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>"
+         b"<div class='c'><span id='s'>in</span><em>e</em></div>")
+    assert x(h, "//li[position()>2]") == "c"
+    assert x(h, "//li[position()<=2][2]") == "b"
+    assert x(h, "//li[position()!=1]") == "b"
+    assert x(h, "//li[last()-1]") == "c"
+    assert x(h, "//li[last()-9]") == ""
+    # preceding-sibling:: counts REVERSE document order: [1] is nearest
+    assert x(h, "//em/preceding-sibling::span") == "in"
+    assert x(h, "//li[.='c']/preceding-sibling::li[1]") == "b"
+    assert x(h, "//li[.='c']/preceding-sibling::li[2]") == "a"
+    assert x(h, "//li[.='a']/preceding-sibling::li") == ""
+    # parent step
+    assert x(h, "//span[@id='s']/../@class") == "c"
+    assert x(h, "//em/..") == "ine"

@@ -603,6 +603,23 @@ def test_source_stats_dominant_lang_tiebreak(spark):
     assert (out["s2"]["top_lang"], out["s2"]["n_docs"]) == ("zh", 1)
 
 
+def test_lm_surprisal_hand_computed(spark):
+    """Unigram-LM surprisal in whole bits, hand-verified: corpus
+    'a a a b' + 'a c' → N=6 (bitlen 3), cnt(a)=4 (bitlen 3),
+    cnt(b)=cnt(c)=1 (bitlen 1) — per-token bits: a→0, b/c→2."""
+    from ideacrawler_spark.textops.analysis import lm_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_surprisal(docs).collect()}
+    assert (out[0]["n_tokens"], out[0]["surprisal_bits"]) == (4, 2)
+    assert out[0]["mean_bits_x100"] == 50    # 200 // 4
+    assert (out[1]["n_tokens"], out[1]["surprisal_bits"]) == (2, 2)
+    assert out[1]["mean_bits_x100"] == 100
+    # rare-token docs score strictly higher than common-token docs
+    assert out[1]["mean_bits_x100"] > out[0]["mean_bits_x100"]
+
+
 def test_mp4_decoder_roundtrip(spark):
     """decode_mp4 walks REAL ISO-BMFF box structure (moov/mvhd/tkhd) —
     dims and duration parsed from bytes; truncated/garbage rejected; and
@@ -739,7 +756,9 @@ def test_jpeg_codec_roundtrip(spark):
     # rejection
     assert J.decode_jpeg(jp[:20]) is None
     assert J.decode_jpeg(jp[:len(jp) // 2]) is None
-    assert J.decode_jpeg(b"\xFF\xD8\xFF\xC2" + jp[4:]) is None  # SOF2
+    # marker byte-patched to SOF2: parses as a progressive frame header
+    # whose "precision" byte is the DQT id — malformed, still a clean None
+    assert J.decode_jpeg(b"\xFF\xD8\xFF\xC2" + jp[4:]) is None
     assert J.decode_jpeg(bytes(64)) is None
     # through the Spark surface: sniffed and really decoded
     media = spark.createDataFrame(
@@ -828,3 +847,50 @@ def test_media_decoders_never_raise_fuzz():
         b = bytes(rng.randint(0, 256, rng.randint(0, 300)).tolist())
         for dec in decoders:
             assert dec(b) is None or isinstance(dec(b), dict)
+
+
+def test_progressive_jpeg_decode_matches_baseline():
+    """Progressive (SOF2, T.81 Annex G) decode: a 14-scan stream —
+    interleaved DC first (Al=1) + DC refinement, per-component AC
+    spectral-selection scans at Al=2, and two successive-approximation
+    refinement passes (2→1, 1→0) — must reconstruct EXACTLY the pixels
+    the baseline path produces from the same quantized coefficients.
+    The encoder and decoder implement opposite halves of G.1.2/G.2, so
+    agreement with the independently-tested baseline path cross-checks
+    both (a shared mistake would have to cancel across EOB-run state,
+    correction bits, and the point transforms to pass)."""
+    import numpy as np
+
+    from ideacrawler_spark.textops import jpeg as J
+
+    rng = np.random.default_rng(11)
+    # solid color: DC-only path must be EXACT (both paths)
+    img = np.full((16, 24, 3), [200, 64, 128], dtype=np.uint8)
+    d = J.decode_jpeg(J.make_progressive_jpeg(img, quality=90))
+    assert d is not None and (d["width"], d["height"]) == (24, 16)
+    assert np.array_equal(
+        d["rgb"], J.decode_jpeg(J.make_jpeg(img, 90))["rgb"])
+    # dense random content: every AC band + refinement bit exercised
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.make_jpeg(img, 85))["rgb"]
+    prog = J.decode_jpeg(J.make_progressive_jpeg(img, 85))
+    assert prog is not None
+    assert np.array_equal(prog["rgb"], base)
+    # odd dims exercise edge-block padding in both paths
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.make_jpeg(img, 92))["rgb"]
+    prog = J.decode_jpeg(J.make_progressive_jpeg(img, 92))["rgb"]
+    assert np.array_equal(prog, base)
+    # a low-quality image drives long zero runs + EOB in every band
+    img = rng.integers(120, 136, (24, 24, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.make_jpeg(img, 10))["rgb"]
+    prog = J.decode_jpeg(J.make_progressive_jpeg(img, 10))["rgb"]
+    assert np.array_equal(prog, base)
+    # truncated progressive streams: clean None, never an exception
+    pj = J.make_progressive_jpeg(img, 75)
+    for cut in (20, len(pj) // 3, len(pj) // 2, len(pj) - 3):
+        assert J.decode_jpeg(pj[:cut]) is None
+    # and the multimodal sniffer now real-decodes SOF2 payloads
+    from ideacrawler_spark.textops.multimodal import decode_jpeg_features
+    feats = decode_jpeg_features(J.make_progressive_jpeg(img, 75))
+    assert feats is not None and feats["dec_width"] == 24
