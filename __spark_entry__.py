@@ -460,6 +460,25 @@ def q_lm_surprisal(spark, sf_dir):
     return lm_surprisal(_load(spark, sf_dir, "documents"))
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token contexts via the
+    distributed two-phase prefix sum (textops/packing.py) — the global
+    token offset never runs through a single-partition window over the
+    data."""
+    from ideacrawler_spark.textops.packing import pack_sequences
+
+    return pack_sequences(_load(spark, sf_dir, "documents"), ctx_len=256)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Per-document sliding token windows (chunk 32, overlap 8) — the
+    RAG/long-doc shape; map-side explode, no shuffle."""
+    from ideacrawler_spark.textops.packing import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk=32, overlap=8)
+
+
 # ---- relational sanity (windowed agg + broadcast join shapes) -------------
 
 
@@ -1011,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "lm_surprisal": q_lm_surprisal,
+        "sequence_pack": q_sequence_pack,
+        "chunk_documents": q_chunk_documents,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1399,6 +1420,48 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    sum(bits)::BIGINT AS surprisal_bits,
                    ((100 * sum(bits)) // count(*))::BIGINT AS mean_bits_x100
             FROM scored GROUP BY doc_id
+        """,
+        "sequence_pack": """
+            -- concat-and-chunk packing: global token prefix sum in doc_id
+            -- order, each doc spans chunks [tok_start//256,(cum-1)//256]
+            WITH t AS (SELECT doc_id::BIGINT AS doc_id,
+                              len(string_split(text, ' '))::BIGINT AS n_tok
+                       FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         (sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+                  FROM t),
+            s AS (SELECT doc_id, n_tok, cum, cum - n_tok AS tok_start FROM c),
+            x AS (SELECT doc_id, n_tok, cum, tok_start,
+                         unnest(range(tok_start // 256, (cum-1) // 256 + 1))
+                           AS chunk_id
+                  FROM s)
+            SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+                   sum(least(cum, (chunk_id+1) * 256)
+                       - greatest(tok_start, chunk_id * 256))::BIGINT
+                     AS n_tokens,
+                   min(doc_id)::BIGINT AS first_doc,
+                   max(doc_id)::BIGINT AS last_doc
+            FROM x GROUP BY chunk_id
+        """,
+        "chunk_documents": """
+            -- sliding windows: stride 24 (= 32 - 8), starts while < n_tok
+            WITH t AS (SELECT doc_id::BIGINT AS doc_id,
+                              string_split(text, ' ') AS w,
+                              len(string_split(text, ' '))::BIGINT AS n
+                       FROM documents),
+            x AS (SELECT doc_id, w, n,
+                         unnest(range(0, (n-1) // 24 + 1)) AS chunk_idx
+                  FROM t),
+            y AS (SELECT doc_id, w, n, chunk_idx::BIGINT AS chunk_idx,
+                         (chunk_idx * 24)::BIGINT AS chunk_start
+                  FROM x)
+            SELECT doc_id, chunk_idx, chunk_start,
+                   least(n - chunk_start, 32)::BIGINT AS chunk_tokens,
+                   array_to_string(
+                     list_slice(w, chunk_start + 1, chunk_start + 32), ' ')
+                     AS chunk_text
+            FROM y
         """,
         "fingerprint": f"""
             WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w

@@ -118,3 +118,31 @@ def test_blocklist_broadcasts_only_the_dim(spark):
     assert blocked == {"h3.example", "h7.example"}
     # residues 3 and 7 each occur floor(2000/37)=54 times in 0..1999
     assert sum(r["blocked"] for r in rows) == 54 * 2
+
+
+def test_pack_sequences_no_global_window_over_data(spark):
+    """The global token prefix sum must be the two-phase shape: the
+    data-side running sum windows on the range-partition id, and the only
+    empty-partition-spec window (a single-partition sort) runs over the
+    per-partition TOTALS — bounded by num_range_parts rows. A naive
+    rewrite through `Window.orderBy(doc_id)` on the data would put an
+    unpartitioned windowspecdefinition over the full docs relation and
+    sink 100 TB through one task."""
+    from ideacrawler_spark.textops.packing import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), 7)).alias("text"),
+    )
+    import re
+
+    plan = _plan(pack_sequences(docs, ctx_len=64, num_range_parts=8))
+    # exactly two Window operators in the whole plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+    # the data-side cumsum PARTITIONS by pid (partition spec [pid#N]
+    # follows the windowspecdefinition in the operator arguments)
+    assert re.search(
+        r"windowspecdefinition\(pid#\d+, doc_id#\d+L ASC[^\n]*"
+        r"\], \[pid#\d+\]", plan), plan
+    # the offsets side (the only unpartitioned window) feeds a broadcast
+    assert "BroadcastExchange" in plan

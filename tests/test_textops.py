@@ -894,3 +894,57 @@ def test_progressive_jpeg_decode_matches_baseline():
     from ideacrawler_spark.textops.multimodal import decode_jpeg_features
     feats = decode_jpeg_features(J.make_progressive_jpeg(img, 75))
     assert feats is not None and feats["dec_width"] == 24
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-chunk packing, hand-verified: docs of 3/5/4/2 tokens in
+    doc_id order, ctx_len=4 → stream positions [0,3)[3,8)[8,12)[12,14):
+    chunk 0 = doc0(3) + doc1(1); chunk 1 = doc1(4); chunk 2 = doc2(4);
+    chunk 3 = doc3(2) — and token totals conserve exactly."""
+    from ideacrawler_spark.textops.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g h"), (2, "i j k l"), (3, "m n")],
+        "doc_id long, text string")
+    out = {r["chunk_id"]: r
+           for r in pack_sequences(docs, ctx_len=4,
+                                   num_range_parts=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0]["n_docs"], out[0]["n_tokens"]) == (2, 4)
+    assert (out[0]["first_doc"], out[0]["last_doc"]) == (0, 1)
+    assert (out[1]["n_docs"], out[1]["n_tokens"]) == (1, 4)
+    assert (out[2]["n_docs"], out[2]["n_tokens"]) == (1, 4)
+    assert (out[2]["first_doc"], out[2]["last_doc"]) == (2, 2)
+    assert (out[3]["n_docs"], out[3]["n_tokens"]) == (1, 2)  # partial tail
+    assert sum(r["n_tokens"] for r in out.values()) == 3 + 5 + 4 + 2
+    # invariant to the partition count (two-phase prefix sum is exact)
+    again = {r["chunk_id"]: (r["n_docs"], r["n_tokens"])
+             for r in pack_sequences(docs, ctx_len=4,
+                                     num_range_parts=1).collect()}
+    assert again == {k: (v["n_docs"], v["n_tokens"])
+                     for k, v in out.items()}
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Sliding windows chunk=4 overlap=2 (stride 2) over a 7-token doc:
+    starts 0,2,4,6 — every token covered, last window short."""
+    from ideacrawler_spark.textops.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6"), (1, "x")],
+        "doc_id long, text string")
+    rows = chunk_documents(docs, chunk=4, overlap=2).collect()
+    d0 = sorted([r for r in rows if r["doc_id"] == 0],
+                key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in d0] == [0, 2, 4, 6]
+    assert [r["chunk_tokens"] for r in d0] == [4, 4, 3, 1]
+    assert d0[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d0[2]["chunk_text"] == "t4 t5 t6"
+    assert d0[3]["chunk_text"] == "t6"
+    # a 1-token doc yields exactly one 1-token window
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["chunk_tokens"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=4, overlap=4)
