@@ -333,6 +333,116 @@ def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
     return "".join(parts)
 
 
+def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2,
+             dim: int = 64) -> str:
+    """Shared CTE chain for the PQ oracles: quantize → subspace split →
+    b0 (init codebooks) → Lloyd iterations → b{iters} (trained books).
+    Mirrors textops/similarity.py pq_train: argmin ties → lowest code,
+    truncating integer means (Spark div semantics)."""
+    d_sub = dim // m
+    dist = _DISTQ_SQL
+    parts = [f"""{_QUANT_SQL},
+        sv AS (
+          SELECT vec_id, s.sub::INT AS sub,
+                 list_slice(q, s.sub * {d_sub} + 1,
+                            s.sub * {d_sub} + {d_sub}) AS sq
+          FROM emb, range(0, {m}) s(sub)),
+        b0 AS (SELECT sub, vec_id AS code, sq AS cq
+               FROM sv WHERE vec_id < {ks})"""]
+    for it in range(1, iters + 1):
+        prev = f"b{it - 1}"
+        parts.append(f""",
+        a{it} AS (
+          SELECT vec_id, sub, sq, code FROM (
+            SELECT v.vec_id, v.sub, v.sq, b.code,
+                   {dist.format(a='v.sq', b='b.cq')} AS d
+            FROM sv v JOIN {prev} b USING (sub))
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) = 1),
+        m{it} AS (
+          SELECT a.sub, a.code, (i - 1)::INT AS dim,
+                 (CASE WHEN sum(a.sq[i]) < 0
+                       THEN -((-sum(a.sq[i])) // count(*))
+                       ELSE sum(a.sq[i]) // count(*) END)::BIGINT AS c
+          FROM a{it} a, range(1, {d_sub + 1}) t(i)
+          GROUP BY a.sub, a.code, i - 1),
+        b{it} AS (
+          SELECT sub, code, list(c ORDER BY dim) AS cq
+          FROM m{it} GROUP BY sub, code)""")
+    return "".join(parts)
+
+
+def _pq_oracle_sqls(m: int = 8, ks: int = 16, iters: int = 2,
+                    dim: int = 64, n_queries: int = 5, k: int = 5) -> dict:
+    ctes = _pq_ctes(m, ks, iters, dim)
+    dist = _DISTQ_SQL
+    books = f"b{iters}"
+    train = f"""
+        WITH {ctes}
+        SELECT sub, code, dim, c FROM m{iters}
+    """
+    codes_body = f"""
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT v.vec_id, v.sub, b.code,
+                   {dist.format(a='v.sq', b='b.cq')} AS d
+            FROM sv v JOIN {books} b USING (sub))
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) = 1)"""
+    codes = f"""
+        WITH {ctes}, {codes_body}
+        SELECT vec_id, sub, code FROM enc
+    """
+    topk = f"""
+        WITH {ctes}, {codes_body},
+        lut AS (
+          SELECT v.vec_id AS query_id, v.sub, b.code,
+                 {dist.format(a='v.sq', b='b.cq')} AS d
+          FROM sv v JOIN {books} b USING (sub)
+          WHERE v.vec_id < {n_queries}),
+        dists AS (
+          SELECT l.query_id, e.vec_id, sum(l.d)::BIGINT AS adc_q
+          FROM enc e JOIN lut l USING (sub, code)
+          WHERE e.vec_id >= {n_queries}
+          GROUP BY l.query_id, e.vec_id)
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_q, vec_id)::BIGINT AS rank,
+               vec_id AS neighbor_id, adc_q
+        FROM dists
+        QUALIFY rank <= {k}
+    """
+    l2 = f"""
+        WITH {_QUANT_SQL},
+        qs AS (SELECT vec_id AS query_id, q AS qv FROM emb
+               WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT qs.query_id, e.vec_id AS neighbor_id,
+                 ({dist.format(a='e.q', b='qs.qv')})::BIGINT AS d2_q
+          FROM emb e CROSS JOIN qs WHERE e.vec_id >= {n_queries})
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2_q, neighbor_id)::BIGINT AS rank,
+               neighbor_id, d2_q
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+    recall = f"""
+        WITH exact AS (SELECT query_id, neighbor_id FROM ({l2})),
+        approx AS (SELECT query_id, neighbor_id FROM ({topk})),
+        hits AS (
+          SELECT query_id, count(*)::INT AS n_hits
+          FROM (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+          GROUP BY query_id)
+        SELECT q.query_id, q.k, coalesce(h.n_hits, 0)::INT AS n_hits
+        FROM (SELECT query_id, count(*)::INT AS k
+              FROM exact GROUP BY query_id) q
+        LEFT JOIN hits h USING (query_id)
+    """
+    return {"pq_train": train, "pq_codes": codes, "pq_topk": topk,
+            "embedding_l2_topk": l2, "pq_recall": recall}
+
+
 def q_ivf_topk(spark, sf_dir):
     from ideacrawler_spark.textops.similarity import ivf_topk
 
@@ -398,6 +508,67 @@ def q_ivf_recall(spark, sf_dir):
     exact = cosine_topk_bruteforce(emb, n_queries=5, k=5).select(
         "query_id", "neighbor_id")
     approx = ivf_topk(emb).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("k"))
+        .join(hits, "query_id", "left")
+        .select("query_id", "k",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                .alias("n_hits"))
+    )
+
+
+def q_pq_train(spark, sf_dir):
+    """Product-quantization codebook training (the IVF-PQ second stage —
+    Jégou et al. TPAMI 2011): per-subspace Lloyd with truncating integer
+    means, all m subspaces in one plan."""
+    from ideacrawler_spark.textops.similarity import pq_train
+
+    return pq_train(_load(spark, sf_dir, "embeddings"))
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ encoding: every vector reduced to m nearest-code ids — the
+    stored index (16x smaller than the quantized vectors at m=8/ks=16;
+    32-64x at production ks=256 over float32)."""
+    from ideacrawler_spark.textops.similarity import pq_encode
+
+    return pq_encode(_load(spark, sf_dir, "embeddings"))
+
+
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over the PQ codes: per-query m*ks exact
+    subspace-distance LUT (broadcast), candidates cost m lookups each."""
+    from ideacrawler_spark.textops.similarity import pq_adc_topk
+
+    return pq_adc_topk(_load(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_l2_topk(spark, sf_dir):
+    """Exact squared-L2 top-k — the ground truth pq_recall measures the
+    ADC ranking against."""
+    from ideacrawler_spark.textops.similarity import l2_topk_bruteforce
+
+    return l2_topk_bruteforce(_load(spark, sf_dir, "embeddings"))
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ/ADC against the exact L2 top-k — the third ANN
+    family (sign-LSH, IVF, PQ) to carry a monitored quality metric."""
+    from ideacrawler_spark.textops.similarity import (
+        l2_topk_bruteforce,
+        pq_adc_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    exact = l2_topk_bruteforce(emb, n_queries=5, k=5).select(
+        "query_id", "neighbor_id")
+    approx = pq_adc_topk(emb).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1024,6 +1195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
+        "pq_train": q_pq_train,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "embedding_l2_topk": q_embedding_l2_topk,
+        "pq_recall": q_pq_recall,
         "curation": q_curation,
         "langid": q_langid,
         "quality": q_quality,
@@ -1076,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
               FROM exact GROUP BY query_id) q
         LEFT JOIN hits h USING (query_id)
     """
+    d.update(_pq_oracle_sqls())
     # IVF recall@5: same composition over the (oracled) ivf_topk query.
     d["ivf_recall"] = f"""
         WITH exact AS (

@@ -357,3 +357,189 @@ def lsh_topk(embeddings: DataFrame, k: int = 3,
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "dot_q")
     )
+
+
+# ---- Product quantization (IVF-PQ's second stage) -------------------------
+#
+# PQ is THE memory-scale path for billion-vector ANN (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011): split each vector
+# into M subspaces, k-means each subspace to KS codes, store M small codes
+# per vector (M bytes at KS=256) instead of the full vector, and answer
+# queries by Asymmetric Distance Computation — a per-query M×KS lookup
+# table of exact subspace distances, so each candidate costs M table
+# lookups. Everything below is the same all-integer arithmetic as the IVF
+# operators (quantized inputs, truncating integer means), so the DuckDB
+# oracle reproduces training, encoding, and search bit for bit.
+
+PQ_M = 8      # subspaces (dim 64 → 8 dims per subspace)
+PQ_KS = 16    # codes per subspace
+PQ_ITERS = 2  # Lloyd iterations per subspace
+
+
+def _subvectors(embeddings: DataFrame, m: int = PQ_M,
+                dim: int = 64) -> DataFrame:
+    """(vec_id, sub, sq): each vector split into m contiguous subspaces.
+    Map-side only — one explode of m slices per vector."""
+    d_sub = dim // m
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("q"), s * d_sub + 1, d_sub),
+            )
+        ).alias("sub", "sq"),
+    )
+
+
+def pq_train(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+             iters: int = PQ_ITERS, dim: int = 64) -> DataFrame:
+    """Per-subspace Lloyd training of the PQ codebooks. Initial codes are
+    the first ``ks`` vectors' sub-vectors (deterministic); each iteration
+    assigns every (vec, sub) row to its nearest code by quantized
+    squared-L2 (ties → lowest code) and recomputes each code's centroid
+    as the per-dimension truncating integer mean. Output:
+    (sub, code, dim, c) — dims indexed within the subspace.
+
+    Scale shape per iteration: codebooks broadcast (m*ks rows) →
+    shuffle-free argmin map stage over the (vec, sub) rows → posexplode +
+    (sub, code, dim) hash aggregation with map-side partial sums. All m
+    subspaces train in ONE plan — no per-subspace jobs."""
+    sv = _subvectors(embeddings, m, dim)
+    books = sv.filter(F.col("vec_id") < ks).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sq").alias("cq")
+    )
+    for _ in range(iters):
+        joined = sv.join(F.broadcast(books), "sub")
+        scored = joined.select(
+            "vec_id", "sub", "sq", "code",
+            dist_q(F.col("sq"), F.col("cq")).alias("d"),
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "sub", "sq", "code")
+        )
+        dims = assigned.select(
+            "sub", "code", F.posexplode(F.col("sq")).alias("dim", "v")
+        )
+        means = dims.groupBy("sub", "code", "dim").agg(
+            F.expr("div(sum(v), count(*))").alias("c")
+        )
+        books = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cq")
+        )
+    return books.select(
+        "sub", "code", F.posexplode(F.col("cq")).alias("dim", "c")
+    )
+
+
+def _trained_books(embeddings: DataFrame, m: int, ks: int, iters: int,
+                   dim: int) -> DataFrame:
+    """(sub, code, cq) arrays from pq_train's row output."""
+    return (
+        pq_train(embeddings, m, ks, iters, dim)
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cq")
+        )
+    )
+
+
+def pq_encode(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+              iters: int = PQ_ITERS, dim: int = 64) -> DataFrame:
+    """(vec_id, sub, code): each vector's sub-vectors quantized to their
+    nearest trained code (ties → lowest code). This is the stored index —
+    m small integers per vector in place of dim floats (16× compression
+    at these parameters, 32-64× at production KS=256 over float32).
+
+    Scale shape: codebooks broadcast, one shuffle-free argmin map stage
+    over the (vec, sub) rows."""
+    sv = _subvectors(embeddings, m, dim)
+    books = _trained_books(embeddings, m, ks, iters, dim)
+    scored = sv.join(F.broadcast(books), "sub").select(
+        "vec_id", "sub", "code", dist_q(F.col("sq"), F.col("cq")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+                m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
+                dim: int = 64) -> DataFrame:
+    """Asymmetric Distance Computation top-k: the query keeps full
+    precision; every DB vector is its m-code PQ encoding. Per query,
+    the exact subspace distances to all m*ks codes form a lookup table
+    (broadcast — n_queries*m*ks small integer rows); a candidate's
+    approximate distance is the sum of its m looked-up entries. Output:
+    (query_id, rank, neighbor_id, adc_q) — ranked ascending by distance,
+    ties → lowest neighbor_id.
+
+    Scale shape: the LUT join key is (sub, code) against a broadcast dim;
+    the only shuffle is the (query_id, vec_id) partial-sum aggregation —
+    m rows per candidate pair, map-side combined. At production scale the
+    candidate set is first cut by IVF cells (ivf_topk's probe join);
+    composing the two is the standard IVF-PQ pipeline."""
+    sv = _subvectors(embeddings, m, dim)
+    books = _trained_books(embeddings, m, ks, iters, dim)
+    codes = pq_encode(embeddings, m, ks, iters, dim).filter(
+        F.col("vec_id") >= n_queries
+    )
+    lut = (
+        sv.filter(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id", "sub", "code",
+            dist_q(F.col("sq"), F.col("cq")).alias("d"),
+        )
+    )
+    paired = codes.join(F.broadcast(lut), ["sub", "code"])
+    dists = paired.groupBy("query_id", "vec_id").agg(
+        F.sum("d").cast("long").alias("adc_q")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_q", "vec_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adc_q"
+        )
+    )
+
+
+def l2_topk_bruteforce(embeddings: DataFrame, n_queries: int = 5,
+                       k: int = 5) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth pq_recall measures ADC
+    against (same broadcast-query scan shape as the cosine baseline);
+    queries excluded from their own candidate set like pq_adc_topk."""
+    emb = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).crossJoin(
+        F.broadcast(queries)
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist_q(F.col("q"), F.col("qv")).alias("d2_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "d2_q")
+    )

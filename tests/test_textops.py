@@ -948,3 +948,59 @@ def test_chunk_documents_sliding_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk=4, overlap=4)
+
+
+def test_pq_adc_separated_clusters(spark):
+    """Product quantization on well-separated clusters: 4 clusters far
+    apart with small intra-cluster jitter, dim 16, m=4 subspaces, ks=4
+    codes. After training, every vector's ADC nearest neighbors must be
+    exactly its cluster peers (the approximation error is bounded by the
+    jitter, which is tiny next to the inter-cluster distance), so ADC
+    recall@3 against exact L2 is perfect — and codes are valid ids."""
+    from ideacrawler_spark.textops.similarity import (
+        l2_topk_bruteforce, pq_adc_topk, pq_encode,
+    )
+
+    def vec(cluster, i):
+        # cluster centers at 10*cluster per dim; jitter < 0.5
+        return [10.0 * cluster + 0.01 * ((i * 7 + d) % 5)
+                for d in range(16)]
+
+    rows = [(i, vec(i % 4, i)) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    codes = pq_encode(emb, m=4, ks=4, iters=2, dim=16).collect()
+    assert len(codes) == 40 * 4
+    assert all(0 <= r["code"] < 4 for r in codes)
+    # vectors in the same cluster collapse to the SAME code word in every
+    # subspace (clusters are separable per-subspace by construction), and
+    # different clusters never share one
+    sig = {}
+    for r in codes:
+        sig.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    cluster_sigs = {}
+    for vid, sc in sig.items():
+        cluster_sigs.setdefault(vid % 4, set()).add(tuple(sorted(sc.items())))
+    assert all(len(v) == 1 for v in cluster_sigs.values())
+    assert len({next(iter(v)) for v in cluster_sigs.values()}) == 4
+    # ADC can't rank within a cluster (identical codes => tied distances,
+    # ties -> lowest id) but must put every neighbor in the QUERY'S
+    # cluster, exactly like exact L2 does at this separation
+    approx = pq_adc_topk(emb, n_queries=4, k=3, m=4, ks=4, iters=2,
+                         dim=16).collect()
+    exact = l2_topk_bruteforce(emb, n_queries=4, k=3).collect()
+    assert all(r["neighbor_id"] % 4 == r["query_id"] % 4 for r in approx)
+    assert all(r["neighbor_id"] % 4 == r["query_id"] % 4 for r in exact)
+    assert len(approx) == len(exact) == 4 * 3
+    # within a cluster the tie rule is deterministic: lowest ids first
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                 for r in approx)
+    want = sorted(
+        (q, rk + 1, [n for n in range(40)
+                     if n % 4 == q % 4 and n != q][rk])
+        for q in range(4) for rk in range(3))
+    assert got == want
+    # determinism
+    approx2 = pq_adc_topk(emb, n_queries=4, k=3, m=4, ks=4, iters=2,
+                          dim=16).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
