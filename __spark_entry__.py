@@ -333,6 +333,74 @@ def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
     return "".join(parts)
 
 
+def _bpe_ctes(n_merges: int = 4) -> str:
+    """Shared CTE chain re-learning the BPE merges from scratch, unrolled
+    per step (mirrors textops/bpe.py: doubled-unit-separator symbol
+    strings, greedy left-to-right replace, count-then-lexicographic
+    argmax). Yields win1..winN and the final vocab v{n_merges} carrying
+    (word, s, cnt)."""
+    sep = "chr(31)"
+    sep2 = "(chr(31) || chr(31))"
+    parts = [f"""WITH w AS (
+          SELECT word, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        v0 AS (SELECT word,
+                      {sep2} || regexp_replace(word, '(.)',
+                                               '\\1' || {sep2}, 'g') AS s,
+                      cnt
+               FROM w)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(f""",
+        p{i} AS (
+          SELECT syms[k] AS lhs, syms[k+1] AS rhs, sum(cnt) AS c
+          FROM (SELECT list_filter(string_split(s, {sep2}),
+                                   x -> x <> '') AS syms, cnt
+                FROM {prev}),
+               unnest(range(1, len(syms))) AS t(k)
+          GROUP BY syms[k], syms[k+1]),
+        win{i} AS (SELECT lhs, rhs, c FROM p{i}
+                   ORDER BY c DESC, lhs, rhs LIMIT 1),
+        v{i} AS (
+          SELECT word,
+                 replace(s,
+                   {sep} || (SELECT lhs FROM win{i}) || {sep2}
+                         || (SELECT rhs FROM win{i}) || {sep},
+                   {sep} || (SELECT lhs || rhs FROM win{i}) || {sep}) AS s,
+                 cnt
+          FROM {prev})""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sqls(n_merges: int = 4) -> dict[str, str]:
+    ctes = _bpe_ctes(n_merges)
+    steps = " UNION ALL ".join(
+        f"SELECT {i - 1}::INT AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"c::BIGINT AS pair_count FROM win{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return {
+        "bpe_train": f"{ctes} SELECT * FROM ({steps})",
+        "bpe_token_count": f"""{ctes},
+            final AS (
+              SELECT word,
+                     len(list_filter(string_split(s, chr(31) || chr(31)),
+                                     x -> x <> ''))::INT AS n_sym
+              FROM v{n_merges}),
+            dw AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+              WHERE word <> '')
+            SELECT doc_id, count(*)::INT AS n_words,
+                   sum(n_sym)::BIGINT AS n_bpe_tokens
+            FROM dw JOIN final USING (word)
+            GROUP BY doc_id
+        """,
+    }
+
+
 def _pq_ctes(m: int = 8, ks: int = 16, iters: int = 2,
              dim: int = 64) -> str:
     """Shared CTE chain for the PQ oracles: quantize → subspace split →
@@ -648,6 +716,73 @@ def q_chunk_documents(spark, sf_dir):
 
     return chunk_documents(
         _load(spark, sf_dir, "documents"), chunk=32, overlap=8)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Corpus-wide verbatim-span duplication (Lee et al. 2022 semantics at
+    8-word-window granularity): one 8-byte-keyed shuffle, per-doc interval
+    merge — see textops/spans.py."""
+    from ideacrawler_spark.textops.spans import duplicate_spans
+
+    return duplicate_spans(_load(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs containing any benchmark 8-gram
+    verbatim. Benchmark side is broadcast — the corpus is never shuffled."""
+    from ideacrawler_spark.textops.spans import bench_ngrams, contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    return contamination(docs, bench_ngrams(docs))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Per-source √tokens sampling weights in exact integer ppm."""
+    from ideacrawler_spark.textops.spans import mixture_weights
+
+    return mixture_weights(_load(spark, sf_dir, "documents"))
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog registers (p=8) over events.user_id — the mergeable
+    distinct sketch, every register an exact oracle-checkable integer."""
+    from ideacrawler_spark.textops.spans import hll_registers
+
+    return hll_registers(_load(spark, sf_dir, "events"), "user_id")
+
+
+def q_bpe_train(spark, sf_dir):
+    """Corpus-trained BPE merge table (4 merges) — the iterative
+    tokenizer-training loop; the oracle RE-LEARNS the merges from scratch
+    with unrolled SQL stages (same argmax tiebreak, same greedy replace
+    semantics)."""
+    from ideacrawler_spark.textops.bpe import bpe_train
+
+    return bpe_train(_load(spark, sf_dir, "documents"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Per-doc token counts under the corpus-trained BPE — encode is a
+    hash join of doc words against the vocab's per-word symbol counts."""
+    from ideacrawler_spark.textops.bpe import bpe_token_count
+
+    return bpe_token_count(_load(spark, sf_dir, "documents"))
+
+
+def q_surprisal_buckets(spark, sf_dir):
+    """CCNet-style perplexity tertiles: corpus-percentile bucket per doc,
+    boundaries computed on the bounded score histogram."""
+    from ideacrawler_spark.textops.analysis import surprisal_buckets
+
+    return surprisal_buckets(_load(spark, sf_dir, "documents"))
+
+
+def q_per_source_cap(spark, sf_dir):
+    """Max-10-docs-per-source curation rule via the salted two-phase
+    top-k (same skew discipline as frontier admission)."""
+    from ideacrawler_spark.textops.sampling import per_source_cap
+
+    return per_source_cap(_load(spark, sf_dir, "documents"), cap=10)
 
 
 # ---- relational sanity (windowed agg + broadcast join shapes) -------------
@@ -1114,6 +1249,41 @@ def q_pipeline_curation(spark, sf_dir):
         "n_words", "ttr_x1000", "stop_x1000")
 
 
+def q_pipeline_pretrain(spark, sf_dir):
+    """The r5 curation stages composed into ONE plan: benchmark
+    decontamination (anti-join on broadcast bench 8-grams) → duplicated-
+    span gate (docs more than half duplicated drop) → quality gates →
+    per-source cap. Each stage is the standalone oracled operator; the
+    oracle chains the same SQL, value-checking the COMPOSITION."""
+    from ideacrawler_spark.textops.analysis import quality_score
+    from ideacrawler_spark.textops.sampling import per_source_cap
+    from ideacrawler_spark.textops.spans import (
+        bench_ngrams,
+        contamination,
+        duplicate_spans,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    cont = contamination(docs, bench_ngrams(docs)).select("doc_id")
+    spans = (
+        duplicate_spans(docs)
+        .filter(F.col("n_dup_tokens") * 2 < F.col("n_tokens"))
+        .select("doc_id", "n_tokens")
+    )
+    q = quality_score(docs).filter(
+        (F.col("n_words") >= 8)
+        & (F.col("ttr_x1000") >= 400)
+        & (F.col("stop_x1000") <= 400)
+    ).select("doc_id")
+    keep = (
+        docs.join(cont, "doc_id", "left_anti")
+        .join(spans, "doc_id")
+        .join(q, "doc_id")
+    )
+    return per_source_cap(keep, cap=10).select(
+        "doc_id", "source", "n_tokens", "src_rank")
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -1208,6 +1378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "sequence_pack": q_sequence_pack,
         "chunk_documents": q_chunk_documents,
+        "duplicate_spans": q_duplicate_spans,
+        "contamination": q_contamination,
+        "mixture_weights": q_mixture_weights,
+        "hll_registers": q_hll_registers,
+        "bpe_train": q_bpe_train,
+        "bpe_token_count": q_bpe_token_count,
+        "surprisal_buckets": q_surprisal_buckets,
+        "per_source_cap": q_per_source_cap,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1227,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pjpeg_features": q_pjpeg_features,
         "frame_features": q_frame_features,
         "pipeline_curation": q_pipeline_curation,
+        "pipeline_pretrain": q_pipeline_pretrain,
     }
 
 
@@ -1253,6 +1432,30 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN hits h USING (query_id)
     """
     d.update(_pq_oracle_sqls())
+    d.update(_bpe_oracle_sqls())
+    # r5 composed pipeline: decontaminate → span-dup gate → quality →
+    # per-source cap, chained from the standalone oracled stage SQLs so
+    # the composition itself is value-checked.
+    d["pipeline_pretrain"] = f"""
+        WITH spans AS ({d["duplicate_spans"]}),
+        cont AS ({d["contamination"]}),
+        q AS ({d["quality"]}),
+        keep AS (
+          SELECT d.doc_id, d.source, s.n_tokens
+          FROM documents d
+          JOIN spans s USING (doc_id)
+          JOIN q USING (doc_id)
+          WHERE s.n_dup_tokens * 2 < s.n_tokens
+            AND q.n_words >= 8 AND q.ttr_x1000 >= 400
+            AND q.stop_x1000 <= 400
+            AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+        SELECT * FROM (
+          SELECT doc_id, source, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id)::INT AS src_rank
+          FROM keep)
+        WHERE src_rank <= 10
+    """
     # IVF recall@5: same composition over the (oracled) ivf_topk query.
     d["ivf_recall"] = f"""
         WITH exact AS (
@@ -1598,6 +1801,48 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    ((100 * sum(bits)) // count(*))::BIGINT AS mean_bits_x100
             FROM scored GROUP BY doc_id
         """,
+        "surprisal_buckets": """
+            -- corpus-percentile bucket of mean unigram surprisal:
+            -- bucket(v) = (3 * |docs with score < v|) DIV n — boundaries
+            -- from the score histogram, equal scores share a bucket
+            WITH wrd AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            counts AS (SELECT w, count(*)::BIGINT AS cnt FROM wrd GROUP BY w),
+            tot AS (SELECT sum(cnt)::BIGINT AS N FROM counts),
+            scored AS (
+              SELECT wrd.doc_id,
+                     (length(bin(tot.N)) - length(bin(counts.cnt)))::BIGINT
+                       AS bits
+              FROM wrd JOIN counts USING (w) CROSS JOIN tot),
+            perdoc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(bits)::BIGINT AS surprisal_bits,
+                     ((100 * sum(bits)) // count(*))::BIGINT
+                       AS mean_bits_x100
+              FROM scored GROUP BY doc_id),
+            hist AS (SELECT mean_bits_x100, count(*)::BIGINT AS cnt
+                     FROM perdoc GROUP BY mean_bits_x100),
+            b AS (
+              SELECT mean_bits_x100,
+                     coalesce(sum(cnt) OVER (ORDER BY mean_bits_x100
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS below,
+                     sum(cnt) OVER () AS n
+              FROM hist)
+            SELECT p.doc_id, p.n_tokens, p.surprisal_bits,
+                   p.mean_bits_x100,
+                   ((3 * b.below) // b.n)::INT AS bucket
+            FROM perdoc p JOIN b USING (mean_bits_x100)
+        """,
+        "per_source_cap": """
+            SELECT * FROM (
+              SELECT doc_id, text, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id)::INT AS src_rank
+              FROM documents)
+            WHERE src_rank <= 10
+        """,
         "sequence_pack": """
             -- concat-and-chunk packing: global token prefix sum in doc_id
             -- order, each doc spans chunks [tok_start//256,(cum-1)//256]
@@ -1747,6 +1992,86 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    (t.n_lines - count(k.line))::INT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
+        """,
+        "duplicate_spans": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            base AS (
+              SELECT doc_id, len(w)::INT AS n_tokens,
+                     CASE WHEN len(w) >= 8 THEN
+                       list_transform(range(0, len(w) - 7),
+                         i -> ('0x' || substring(md5(
+                                array_to_string(w[(i+1):(i+8)], ' ')),
+                                1, 15))::BIGINT)
+                     ELSE []::BIGINT[] END AS hs
+              FROM w),
+            pos AS (SELECT doc_id, CAST(p AS INT) AS pos, hs[p+1] AS sh
+                    FROM base, unnest(range(0, len(hs))) AS t(p)),
+            dup_sh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+            dup AS (SELECT doc_id, pos FROM pos JOIN dup_sh USING (sh)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM dup),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+              FROM isl),
+            spans AS (SELECT doc_id, island, max(pos) - min(pos) + 8 AS len
+                      FROM isl2 GROUP BY doc_id, island),
+            per_doc AS (SELECT doc_id, count(*)::INT AS n_dup_spans,
+                               sum(len)::BIGINT AS n_dup_tokens
+                        FROM spans GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens,
+                   coalesce(p.n_dup_spans, 0)::INT AS n_dup_spans,
+                   coalesce(p.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+            FROM base b LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "contamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            bench AS (
+              SELECT DISTINCT ('0x' || substring(md5(
+                       array_to_string(w[1:8], ' ')), 1, 15))::BIGINT AS sh
+              FROM w WHERE doc_id % 37 = 0 AND len(w) >= 8),
+            pos AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(
+                        array_to_string(w[(i+1):(i+8)], ' ')),
+                        1, 15))::BIGINT AS sh
+              FROM w, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i))
+            SELECT doc_id, count(DISTINCT sh)::INT AS n_bench_hits
+            FROM pos JOIN bench USING (sh)
+            GROUP BY doc_id
+        """,
+        "mixture_weights": """
+            WITH stats AS (
+              SELECT source, count(*)::INT AS n_docs,
+                     sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT)
+                              AS sqrt_tokens
+                  FROM stats)
+            SELECT source, n_docs, n_tokens, sqrt_tokens,
+                   ((1000000 * sqrt_tokens) // sum(sqrt_tokens) OVER ())
+                     ::BIGINT AS weight_ppm
+            FROM w
+        """,
+        "hll_registers": """
+            WITH h AS (
+              SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 15))::BIGINT AS h
+              FROM events),
+            r AS (SELECT CAST(h % 256 AS INT) AS bucket,
+                         h // 256 AS rest
+                  FROM h)
+            SELECT bucket,
+                   max(CASE WHEN rest > 0 THEN 53 - length(bin(rest))
+                            ELSE 53 END)::INT AS max_rho
+            FROM r GROUP BY bucket
         """,
         "source_stats": """
             WITH base AS (

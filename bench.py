@@ -276,7 +276,9 @@ def main():
     micro_evidence = {}
     for q in ("minhash_lsh_pairs", "simhash", "embedding_topk", "ivf_topk",
               "ann_lsh_topk", "langid", "fingerprint", "crawl_order",
-              "budget_admit", "pipeline_curation"):
+              "budget_admit", "pipeline_curation", "contamination",
+              "hll_registers", "mixture_weights", "bpe_train",
+              "surprisal_buckets", "per_source_cap"):
         atts = []
         for _ in range(micro_n):
             load0 = os.getloadavg()[0]
@@ -376,7 +378,8 @@ def main():
                                "/root/testdata/sf0.01")
     op_scaling = {}
     for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
-                  "sequence_pack", "lm_surprisal"):
+                  "sequence_pack", "lm_surprisal", "duplicate_spans",
+                  "bpe_token_count"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0

@@ -580,12 +580,13 @@ def _parse_xpath(path: str):
             idx += 1
             continue
         axis = "descendant" if descendant else "child"
-        for sib in ("following-sibling", "preceding-sibling"):
-            if p.startswith(sib + "::"):
+        for named in ("following-sibling", "preceding-sibling",
+                      "ancestor-or-self", "ancestor"):
+            if p.startswith(named + "::"):
                 if descendant:
                     return None  # a//following-sibling::b is out of subset
-                axis = sib
-                p = p[len(sib) + 2:]
+                axis = named
+                p = p[len(named) + 2:]
                 break
         parsed = _split_step(p)
         if parsed is None:
@@ -663,6 +664,22 @@ def _eval_xpath(root: _MiniNode, steps) -> list:
                     if not kids:
                         break
                 selected.update(id(c) for c in kids)
+        elif axis in ("ancestor", "ancestor-or-self"):
+            # reverse axis: positional predicates count NEAREST-first
+            # (standard XPath: ancestor::div[1] is the closest div)
+            pm = parents_map()
+            for n in current:
+                chain = [n] if axis == "ancestor-or-self" else []
+                up = pm.get(id(n))
+                while up is not None:
+                    chain.append(up)
+                    up = pm.get(id(up))
+                cands = [c for c in chain if tag == "*" or c.tag == tag]
+                for pred in preds:  # per context node (XPath semantics)
+                    cands = _filt(cands, pred)
+                    if not cands:
+                        break
+                selected.update(id(c) for c in cands)
         elif axis == "parent":
             pm = parents_map()
             for n in current:

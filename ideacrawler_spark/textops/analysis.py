@@ -221,3 +221,39 @@ def lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn(
         "mean_bits_x100", F.expr("div(100 * surprisal_bits, n_tokens)")
     )
+
+
+def surprisal_buckets(docs: DataFrame, n_buckets: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing: assign each doc to a corpus
+    percentile bucket of its mean unigram surprisal (0 = head/fluent,
+    n_buckets-1 = tail/rare). Bucket of score v =
+    ``(n_buckets * |docs with score < v|) DIV n`` — equal scores always
+    share a bucket, so the rule is deterministic with no tie ambiguity
+    and exact in integer arithmetic.
+
+    Scale shape: the percentile boundary pass runs over the score
+    HISTOGRAM (groupBy score → one row per distinct integer score, a few
+    thousand rows regardless of corpus size), so the single-partition
+    cumsum window touches bounded data — the corpus itself only sees the
+    scoring joins of lm_surprisal plus one hash join back on the score."""
+    scored = lm_surprisal(docs, text_col=text_col)
+    hist = scored.groupBy("mean_bits_x100").agg(
+        F.count("*").alias("_cnt"))
+    w = Window.orderBy("mean_bits_x100").rowsBetween(
+        Window.unboundedPreceding, -1)
+    boundaries = hist.select(
+        "mean_bits_x100",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_below"),
+        F.sum("_cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    ).select(
+        "mean_bits_x100",
+        F.expr(f"CAST(div({n_buckets} * _below, _n) AS INT)")
+        .alias("bucket"),
+    )
+    return scored.join(boundaries, "mean_bits_x100").select(
+        "doc_id", "n_tokens", "surprisal_bits", "mean_bits_x100", "bucket"
+    )

@@ -17,7 +17,7 @@ integer fractions (no float thresholds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ideacrawler_spark.textops.hashing import h60
@@ -49,6 +49,37 @@ def stratified_sample(
         den = F.when(cond, F.lit(int(d))).otherwise(den)
     bucket = h60(F.col(key_col).cast("string")) % den
     return df.filter(bucket < num)
+
+
+def per_source_cap(docs: DataFrame, cap: int, salt: int = 16,
+                   source_col: str = "source",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` docs per source (lowest ``order_col`` first) —
+    the max-N-docs-per-domain curation rule (C4/RefinedWeb-style domain
+    balancing), with the same skew discipline as frontier admission
+    (operators/admission.py): a viral source with 10^8 docs must not
+    funnel through ONE window-sort task.
+
+    Salted two-phase top-k: phase 1 ranks within (source, salt-of-key) —
+    ``salt`` parallel slices per source — and keeps each slice's top
+    ``cap``, which provably contains the true per-source top ``cap``;
+    phase 2 ranks only those ≤ salt×cap survivors. The literal ``cap``
+    bound lets Catalyst insert WindowGroupLimit (bounded heap before the
+    exchange, no full partition sort). Adds ``src_rank`` (1-based)."""
+    salted = docs.withColumn(
+        "_salt", h60(F.col(order_col).cast("string")) % F.lit(salt)
+    )
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(order_col)
+    p1 = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(order_col)
+    return (
+        p1.withColumn("src_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("src_rank") <= cap)
+    )
 
 
 def weighted_mix(parts: dict, key_col: str = "doc_id") -> DataFrame:

@@ -379,3 +379,33 @@ def test_xpath_position_comparisons_and_sibling_axes():
     # parent step
     assert x(h, "//span[@id='s']/../@class") == "c"
     assert x(h, "//em/..") == "ine"
+
+
+def test_xpath_ancestor_axes():
+    """ancestor:: / ancestor-or-self:: — reverse axes with nearest-first
+    positional semantics (ancestor::div[1] is the CLOSEST div), per
+    standard XPath; predicates filter per context node."""
+    from ideacrawler_spark.functions.extract import xpath_first_value as x
+
+    h = (b"<html><body>"
+         b"<div id='outer' data-k='o'><section id='mid'>"
+         b"<div id='inner' data-k='i'><span id='s'>leaf</span></div>"
+         b"</section></div>"
+         b"<div id='lone'><b>other</b></div>"
+         b"</body></html>")
+    # nearest ancestor div of the span is #inner, [2] is #outer
+    assert x(h, "//span[@id='s']/ancestor::div[1]/@id") == "inner"
+    assert x(h, "//span[@id='s']/ancestor::div[2]/@id") == "outer"
+    # predicate filters the chain per context node
+    assert x(h, "//span/ancestor::div[@data-k='o']/@id") == "outer"
+    assert x(h, "//span/ancestor::section/@id") == "mid"
+    # ancestor-or-self includes the context node itself
+    assert x(h, "//div[@id='inner']/ancestor-or-self::div[1]/@id") \
+        == "inner"
+    assert x(h, "//div[@id='inner']/ancestor-or-self::div[2]/@id") \
+        == "outer"
+    # wildcard walks the whole chain; chains into further steps
+    assert x(h, "//span/ancestor::*[@id='mid']/div/@id") == "inner"
+    # no matching ancestor -> empty; //ancestor:: combo out of subset
+    assert x(h, "//b/ancestor::section") == ""
+    assert x(h, "//span//ancestor::div") == ""

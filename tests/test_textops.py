@@ -1004,3 +1004,51 @@ def test_pq_adc_separated_clusters(spark):
     approx2 = pq_adc_topk(emb, n_queries=4, k=3, m=4, ks=4, iters=2,
                           dim=16).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_surprisal_buckets_percentile_rule(spark):
+    """Bucket = (3 * |docs with score < v|) DIV n, equal scores share a
+    bucket — verified against a driver-side recomputation, and the
+    head/tail ordering is semantic (fluent docs bucket 0, rare-token
+    docs the top bucket)."""
+    from ideacrawler_spark.textops.analysis import (
+        lm_surprisal, surprisal_buckets,
+    )
+
+    # 9 docs with a spread of rare/common tokens
+    rows = [(i, " ".join(["common"] * (9 - i) + [f"rare{i}x{j}"
+                                                 for j in range(i)]))
+            for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["mean_bits_x100"]
+              for r in lm_surprisal(docs).collect()}
+    out = {r["doc_id"]: r["bucket"]
+           for r in surprisal_buckets(docs, n_buckets=3).collect()}
+    n = len(scores)
+    for d, v in scores.items():
+        below = sum(1 for u in scores.values() if u < v)
+        assert out[d] == (3 * below) // n
+    assert out[0] == 0 and out[8] == 2  # all-common head, rare-heavy tail
+    assert set(out.values()) == {0, 1, 2}
+
+
+def test_per_source_cap_exact_and_skew_salted(spark):
+    """per_source_cap keeps exactly the cap lowest doc_ids per source —
+    identical to the unsalted window rule — including under a mega-source
+    (one source owning 90% of rows)."""
+    from ideacrawler_spark.textops.sampling import per_source_cap
+
+    rows = [(i, "t", "en", "mega") for i in range(270)] + \
+           [(1000 + i, "t", "en", f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = per_source_cap(docs, cap=5).collect()
+    got = sorted((r["source"], r["src_rank"], r["doc_id"]) for r in out)
+    want = []
+    by_src = {}
+    for i, _, _, s in rows:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        for rk, d in enumerate(sorted(ids)[:5], start=1):
+            want.append((s, rk, d))
+    assert got == sorted(want)
