@@ -333,6 +333,35 @@ def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
     return "".join(parts)
 
 
+def _pagerank_oracle_sql(n_iter: int = 6, scale: int = 1_000_000,
+                         damping: tuple = (85, 100)) -> str:
+    """Unrolled integer fixed-point PageRank (operators/graph.py):
+    r'(v) = base + (d_num * sum in-contribs) // d_den, contrib =
+    r(u) // outdeg(u). All values non-negative BIGINTs so DuckDB //
+    equals Spark div; sums cast ::BIGINT to kill HUGEINT."""
+    d_num, d_den = damping
+    base = (d_den - d_num) * scale // d_den
+    parts = [f"""WITH {_EDGES_SQL},
+        od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        r0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""]
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+        r{it} AS (
+          SELECT n.node,
+                 ({base} + ({d_num} * coalesce(s.s, 0)) // {d_den})::BIGINT
+                   AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr // o.od)::BIGINT AS s
+            FROM edges e
+            JOIN r{it - 1} r ON e.src = r.node
+            JOIN od o ON e.src = o.src
+            GROUP BY e.dst) s ON n.node = s.node)""")
+    parts.append(f" SELECT node, pr FROM r{n_iter}")
+    return "".join(parts)
+
+
 def _bpe_ctes(n_merges: int = 4) -> str:
     """Shared CTE chain re-learning the BPE merges from scratch, unrolled
     per step (mirrors textops/bpe.py: doubled-unit-separator symbol
@@ -767,6 +796,103 @@ def q_bpe_token_count(spark, sf_dir):
     from ideacrawler_spark.textops.bpe import bpe_token_count
 
     return bpe_token_count(_load(spark, sf_dir, "documents"))
+
+
+def q_cms_registers(spark, sf_dir):
+    """Count-min sketch registers (d=4, w=256) over the corpus token
+    stream — the second mergeable integer sketch (with hll_registers)."""
+    from ideacrawler_spark.textops.spans import cms_registers
+
+    return cms_registers(_load(spark, sf_dir, "documents"))
+
+
+def q_token_quantiles(spark, sf_dir):
+    """Exact p25/50/75/90/99 of per-doc token counts via the bounded
+    histogram cumsum — percentile_disc semantics, integer-exact."""
+    from ideacrawler_spark.textops.analysis import token_quantiles
+
+    return token_quantiles(_load(spark, sf_dir, "documents"))
+
+
+def q_weighted_mix(spark, sf_dir):
+    """Deterministic weighted source mix: three language slices hash-
+    sampled at different exact-fraction rates and unioned with a
+    mix_source tag — the final assembly step of a training-data mix."""
+    from ideacrawler_spark.textops.sampling import weighted_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    return weighted_mix({
+        "web": (docs.filter(F.col("lang") == "en"), (2, 3)),
+        "books": (docs.filter(F.col("lang") == "de"), (1, 2)),
+        "tail": (docs.filter(~F.col("lang").isin("en", "de")), (1, 8)),
+    })
+
+
+def _host_edges(spark, sf_dir):
+    """Deterministic synthetic host link graph derived from events:
+    50 hosts, src = user_id mod 50, dst = (user_id + event_id) mod 50,
+    self-loops dropped, distinct edges."""
+    ev = _load(spark, sf_dir, "events")
+    s = (F.col("user_id") % 50).cast("long")
+    t = ((F.col("user_id") + F.col("event_id")) % 50).cast("long")
+    return (
+        ev.filter(s != t)
+        .select(
+            F.concat(F.lit("host"), s.cast("string"),
+                     F.lit(".example")).alias("src"),
+            F.concat(F.lit("host"), t.cast("string"),
+                     F.lit(".example")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT
+         'host' || (user_id % 50) || '.example' AS src,
+         'host' || ((user_id + event_id) % 50) || '.example' AS dst
+  FROM events
+  WHERE (user_id % 50) <> ((user_id + event_id) % 50))
+"""
+
+
+def q_host_degrees(spark, sf_dir):
+    """Exact in/out degree per host over the synthetic link graph —
+    the first-cut authority/hubness signal for host curation."""
+    from ideacrawler_spark.operators.graph import host_degrees
+
+    return host_degrees(_host_edges(spark, sf_dir))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (6 unrolled iterations) over the
+    synthetic host graph — the host-authority score a curation
+    pipeline weights sources by; bit-exact vs the unrolled SQL oracle."""
+    from ideacrawler_spark.operators.graph import pagerank
+
+    return pagerank(_host_edges(spark, sf_dir), n_iter=6)
+
+
+RETRIEVAL_TERMS = ("spark", "hash", "window")
+
+
+def q_term_retrieval(spark, sf_dir):
+    """Top-10 docs for a 3-term query, integer tf-idf surrogate scoring
+    (idf = N div df) with doc_id tiebreak — the corpus-inspection
+    lookup; top-k is TakeOrderedAndProject, never a full sort."""
+    from ideacrawler_spark.textops.retrieval import term_retrieval
+
+    return term_retrieval(
+        _load(spark, sf_dir, "documents"), RETRIEVAL_TERMS, k=10)
+
+
+def q_token_postings(spark, sf_dir):
+    """Full inverted index (tok, df, sorted postings) for tokens with
+    df >= 5 — the searchable-corpus artifact itself."""
+    from ideacrawler_spark.textops.retrieval import token_postings
+
+    return token_postings(_load(spark, sf_dir, "documents"), min_df=5)
 
 
 def q_surprisal_buckets(spark, sf_dir):
@@ -1386,6 +1512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "surprisal_buckets": q_surprisal_buckets,
         "per_source_cap": q_per_source_cap,
+        "cms_registers": q_cms_registers,
+        "token_quantiles": q_token_quantiles,
+        "weighted_mix": q_weighted_mix,
+        "host_degrees": q_host_degrees,
+        "host_pagerank": q_host_pagerank,
+        "term_retrieval": q_term_retrieval,
+        "token_postings": q_token_postings,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1670,6 +1803,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "ivf_train": _ivf_train_oracle_sql(),
+        "host_pagerank": _pagerank_oracle_sql(),
         "ann_lsh_buckets": _ANN_BUCKETS_SQL,
         "embedding_near_dup": f"""
             WITH {_QUANT_SQL}, {_planes_values_sql()},
@@ -2059,6 +2193,94 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    ((1000000 * sqrt_tokens) // sum(sqrt_tokens) OVER ())
                      ::BIGINT AS weight_ppm
             FROM w
+        """,
+        "cms_registers": """
+            WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            c AS (
+              SELECT t.r::INT AS hrow,
+                     (('0x' || substring(md5('cms' || t.r || ':' || tok),
+                       1, 15))::BIGINT % 256)::INT AS bucket
+              FROM tok, range(0, 4) t(r))
+            SELECT hrow, bucket, count(*)::BIGINT AS cnt
+            FROM c GROUP BY hrow, bucket
+        """,
+        "token_quantiles": """
+            WITH t AS (SELECT len(string_split(text, ' '))::INT AS v
+                       FROM documents),
+            hist AS (SELECT v, count(*)::BIGINT AS cnt FROM t GROUP BY v),
+            cum AS (SELECT v,
+                           sum(cnt) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS c,
+                           sum(cnt) OVER () AS n
+                    FROM hist),
+            p AS (SELECT unnest([25, 50, 75, 90, 99])::INT AS pct)
+            SELECT pct, min(v)::INT AS value
+            FROM p JOIN cum ON c >= (pct * n + 99) // 100
+            GROUP BY pct
+        """,
+        "weighted_mix": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   'books' AS mix_source
+            FROM documents
+            WHERE lang = 'de'
+              AND ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 2 < 1
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars, 'tail'
+            FROM documents
+            WHERE lang NOT IN ('en', 'de')
+              AND ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 8 < 1
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars, 'web'
+            FROM documents
+            WHERE lang = 'en'
+              AND ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 3 < 2
+        """,
+        "term_retrieval": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf
+              FROM tok
+              WHERE tok IN {repr(tuple(sorted(RETRIEVAL_TERMS)))}
+              GROUP BY doc_id, tok),
+            dfv AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT tf.doc_id,
+                   sum(tf.tf * (n.n // dfv.df))::BIGINT AS score,
+                   count(*)::INT AS n_terms
+            FROM tf JOIN dfv USING (tok) CROSS JOIN n
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 10
+        """,
+        "token_postings": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> '')
+            SELECT tok, count(*)::BIGINT AS df,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                     AS postings_csv
+            FROM tok GROUP BY tok
+            HAVING count(*) >= 5
+        """,
+        "host_degrees": f"""
+            WITH {_EDGES_SQL},
+            o AS (SELECT src AS node, count(*)::BIGINT AS out_deg
+                  FROM edges GROUP BY src),
+            i AS (SELECT dst AS node, count(*)::BIGINT AS in_deg
+                  FROM edges GROUP BY dst)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_deg, 0)::BIGINT AS out_deg,
+                   coalesce(in_deg, 0)::BIGINT AS in_deg
+            FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
         "hll_registers": """
             WITH h AS (

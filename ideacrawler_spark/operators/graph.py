@@ -1,0 +1,118 @@
+"""Host-level link-graph analytics: degrees and PageRank.
+
+A crawler's frontier IS a link graph — the reference materializes the
+per-page outlink sets that induce it (job.go's analyzed-URL callback;
+see `plans/round.py` D2/S8), and host-level authority scores are the
+standard curation signal built on top (prioritize/weight hosts by
+centrality, demote link farms). This module computes them Spark-first:
+
+* ``host_degrees`` — exact in/out degree per node: two partial-agg
+  groupBys and one full-outer join, all shuffle-keyed on the node id.
+
+* ``pagerank`` — the classic damped PageRank in INTEGER fixed-point
+  arithmetic so the result is bit-reproducible across engines (the
+  repo-wide oracle discipline: no floats near a value hash). Each
+  iteration is one equi-join (ranks onto edges, shuffle-keyed on src)
+  plus one partial-aggregated groupBy(dst) — the textbook join-based
+  formulation that scales linearly with |E| and never materializes a
+  driver-side graph. Lineage is truncated with an eager
+  ``localCheckpoint`` per iteration (same discipline as
+  ``textops/dedup.py:dedup_components``).
+
+Fixed-point model: ranks carry ``scale`` units per 1.0 of the per-node
+formulation r'(v) = (1-d) + d * sum_{u->v} r(u)/outdeg(u), evaluated as
+
+    r'(v) = base + (d_num * S(v)) div d_den
+    base  = ((d_den - d_num) * scale) div d_den          (exact, Python)
+    S(v)  = sum over in-edges of  r(u) div outdeg(u)      (BIGINT)
+
+All quantities stay non-negative BIGINTs, so Spark's truncating ``div``
+and DuckDB's flooring ``//`` agree and the unrolled oracle SQL rebuilds
+the identical registers. Dangling nodes (no out-edges) leak their mass —
+the standard simplification; totals are not renormalized.
+
+Overflow headroom: S(v) is bounded by total mass ≈ |V| * scale, so with
+the default scale 10^6 the BIGINT path is safe to |V| ~ 10^11 hosts —
+comfortably past the 10^10-URL design point.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Exact (node, out_deg, in_deg) over an (src, dst) edge table.
+
+    Scale shape: two independent partial-aggregated groupBys (map-side
+    combine makes each shuffle row a per-task partial) and one
+    full-outer join on the node id. No driver collect, no skew hazard
+    beyond the aggregation itself (a mega-host is one combined row per
+    map task).
+    """
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
+             damping: tuple = (85, 100)) -> DataFrame:
+    """Integer fixed-point PageRank over an (src, dst) edge table.
+
+    Returns (node, rank) with rank in units of 1/``scale`` under the
+    per-node formulation (a node with no in-links converges to
+    base = (1-d)*scale). ``n_iter`` is fixed (no convergence probe) so
+    the unrolled SQL oracle can rebuild the exact integers.
+
+    Scale shape per iteration: ranks join onto the (src, dst, od) link
+    table — both sides shuffle-keyed on src (the link side is computed
+    ONCE and cached, so iterations reuse its partitioning) — then one
+    partial-aggregated groupBy(dst). That is O(|E|) per iteration with
+    map-side combine on the contribution sum; nothing is collected and
+    no per-node state lives on the driver. localCheckpoint per iteration
+    keeps the plan flat across iterations.
+    """
+    d_num, d_den = damping
+    base = (d_den - d_num) * scale // d_den
+    links = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("od")), "src")
+        .select("src", "dst", "od")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        sums = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("pr div od").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr(
+                    f"({d_num} * coalesce(s, 0L)) div {d_den}"))
+                .cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -223,6 +223,43 @@ def lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_quantiles(docs: DataFrame,
+                    pcts: tuple = (25, 50, 75, 90, 99),
+                    text_col: str = "text") -> DataFrame:
+    """Exact corpus percentiles of per-doc token counts — the curation
+    observability numbers (what does the p99 doc look like?) computed as
+    exact order statistics, not approximations: percentile p = the
+    smallest count v with |docs with count <= v| >= ceil(p*n/100)
+    (percentile_disc semantics, integer-exact in both engines).
+
+    Scale shape: the corpus collapses to a token-count HISTOGRAM first
+    (one partial-aggregated groupBy; a few thousand distinct integer
+    counts regardless of corpus size), so the cumsum window and the
+    percentile probe run over bounded data."""
+    hist = docs.select(
+        F.size(words_col(text_col)).alias("v")
+    ).groupBy("v").agg(F.count("*").alias("_cnt"))
+    cum = hist.select(
+        "v",
+        F.sum("_cnt").over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("_cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    pdf = docs.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], "pct int")
+    return (
+        pdf.crossJoin(cum)
+        .filter(F.expr("_cum >= CAST(div(pct * _n + 99, 100) AS BIGINT)"))
+        .groupBy("pct")
+        .agg(F.min("v").cast("int").alias("value"))
+    )
+
+
 def surprisal_buckets(docs: DataFrame, n_buckets: int = 3,
                       text_col: str = "text") -> DataFrame:
     """CCNet-style perplexity bucketing: assign each doc to a corpus

@@ -166,6 +166,49 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+def cms_registers(docs: DataFrame, d: int = 4, w: int = 256,
+                  text_col: str = "text") -> DataFrame:
+    """Count-min sketch registers (Cormode & Muthukrishnan 2005) over the
+    corpus token stream: (hrow, bucket, cnt) for d salted hash rows of w
+    buckets. Estimate(count of tok) = min over rows of
+    register[row][h_row(tok) mod w] — always >= the true count.
+
+    Like hll_registers, the registers ARE the mergeable sketch state
+    (elementwise SUM is the union, proven in test), and the build is one
+    partial-aggregated groupBy: the map side explodes each token into d
+    (row, bucket) cells (array ops, no shuffle), and every map task emits
+    at most d*w partial rows regardless of input size. Salts are string
+    prefixes through the portable h60, so the oracle rebuilds the exact
+    registers."""
+    tok = docs.select(F.explode(words_col(text_col)).alias("tok"))
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda r: F.struct(
+            r.cast("int").alias("hrow"),
+            (h60(F.concat(F.lit("cms"), r.cast("string"), F.lit(":"),
+                          F.col("tok"))) % w).cast("int").alias("bucket"),
+        ),
+    )
+    return (
+        tok.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.hrow").alias("hrow"),
+                 F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(registers, token: str, d: int = 4, w: int = 256) -> int:
+    """Driver-side point estimate from collected registers: min over rows
+    of the token's cell (the CMS read path; for tests/monitoring)."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got = {(r["hrow"], r["bucket"]): r["cnt"] for r in registers}
+    return min(got.get((r, h(f"cms{r}:{token}") % w), 0) for r in range(d))
+
+
 def hll_registers(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
     """HyperLogLog register table for approx-distinct of ``value_col``:
     (bucket, max_rho) with bucket = h60 mod 2^p and rho = position of the

@@ -1,0 +1,44 @@
+"""Unit tests for inverted-index retrieval (textops/retrieval.py):
+hand-computed integer tf-idf-surrogate scores, tiebreak order, and the
+postings index contents."""
+
+from ideacrawler_spark.textops.retrieval import (
+    term_retrieval,
+    term_tf,
+    token_postings,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_term_tf_counts_only_query_terms(spark):
+    docs = _docs(spark, [(1, "x x y"), (2, "x z")])
+    got = {(r["doc_id"], r["tok"]): r["tf"]
+           for r in term_tf(docs, ["x", "z"]).collect()}
+    assert got == {(1, "x"): 2, (2, "x"): 1, (2, "z"): 1}
+
+
+def test_term_retrieval_scores_and_tiebreak(spark):
+    """N=3, df(x)=2, df(z)=2 → idf = 3 div 2 = 1.
+    d3: tf(z)=3 → score 3; d1: tf(x)=2 → 2; d2: 1+1 → 2.
+    d1 vs d2 tie on score breaks on doc_id ascending."""
+    docs = _docs(spark, [(1, "x x y"), (2, "x z"), (3, "z z z w")])
+    got = [(r["doc_id"], r["score"], r["n_terms"])
+           for r in term_retrieval(docs, ["x", "z"], k=10).collect()]
+    assert got == [(3, 3, 1), (1, 2, 1), (2, 2, 2)]
+
+
+def test_term_retrieval_k_truncates(spark):
+    docs = _docs(spark, [(i, "x") for i in range(1, 6)])
+    got = [r["doc_id"] for r in term_retrieval(docs, ["x"], k=2).collect()]
+    assert got == [1, 2]  # equal scores → doc_id order, capped at k
+
+
+def test_token_postings_sorted_and_min_df(spark):
+    docs = _docs(spark, [(3, "x y"), (1, "x"), (2, "x y x")])
+    got = {r["tok"]: (r["df"], r["postings_csv"])
+           for r in token_postings(docs, min_df=2).collect()}
+    # per-doc DISTINCT: duplicate x in doc 2 counts once; y df=2
+    assert got == {"x": (3, "1,2,3"), "y": (2, "2,3")}

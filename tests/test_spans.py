@@ -124,3 +124,34 @@ def test_hll_estimate_close_to_truth(spark):
     s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
     est = (0.7213 / (1 + 1.079 / m)) * m * m / s
     assert abs(est - n) / n < 0.20
+
+
+def test_cms_registers_overestimate_and_merge(spark):
+    """CMS point estimates are always >= the true count (min over d
+    rows), exact for tokens without collisions at this size; registers
+    merge by elementwise SUM (union law)."""
+    from pyspark.sql import functions as F
+
+    from ideacrawler_spark.textops.spans import cms_lookup, cms_registers
+
+    docs = _docs(spark, [
+        (0, "apple apple banana"),
+        (1, "apple cherry"),
+    ])
+    regs = cms_registers(docs).collect()
+    truth = {"apple": 3, "banana": 1, "cherry": 1}
+    for tok, n in truth.items():
+        assert cms_lookup(regs, tok) >= n
+    # at 4 distinct tokens over 4x256 cells collisions are absent, so
+    # estimates are exact
+    assert {t: cms_lookup(regs, t) for t in truth} == truth
+    assert cms_lookup(regs, "absent-token") == 0
+    # union law: cms(A ++ B) == cms(A) + cms(B) elementwise
+    d2 = _docs(spark, [(2, "banana banana date")])
+    both = cms_registers(docs.union(d2))
+    merged = (
+        cms_registers(docs).union(cms_registers(d2))
+        .groupBy("hrow", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, both.collect())) == \
+        sorted(map(tuple, merged.collect()))

@@ -1052,3 +1052,18 @@ def test_per_source_cap_exact_and_skew_salted(spark):
         for rk, d in enumerate(sorted(ids)[:5], start=1):
             want.append((s, rk, d))
     assert got == sorted(want)
+
+
+def test_token_quantiles_exact_order_statistics(spark):
+    """percentile_disc semantics: value at pct p = smallest count v with
+    |docs <= v| >= ceil(p*n/100), hand-checked on 10 docs of 1..10
+    tokens."""
+    from ideacrawler_spark.textops.analysis import token_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)],
+        "doc_id long, text string")
+    got = {r["pct"]: r["value"]
+           for r in token_quantiles(docs).collect()}
+    # n=10: ceil ranks 25->3, 50->5, 75->8, 90->9, 99->10
+    assert got == {25: 3, 50: 5, 75: 8, 90: 9, 99: 10}
