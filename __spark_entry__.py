@@ -333,15 +333,16 @@ def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
     return "".join(parts)
 
 
-def _pagerank_oracle_sql(n_iter: int = 6, scale: int = 1_000_000,
-                         damping: tuple = (85, 100)) -> str:
-    """Unrolled integer fixed-point PageRank (operators/graph.py):
+def _pagerank_ctes(n_iter: int = 6, scale: int = 1_000_000,
+                   damping: tuple = (85, 100)) -> str:
+    """CTE chain (no WITH keyword) rebuilding the unrolled integer
+    fixed-point PageRank (operators/graph.py), ending at r{n_iter}:
     r'(v) = base + (d_num * sum in-contribs) // d_den, contrib =
     r(u) // outdeg(u). All values non-negative BIGINTs so DuckDB //
     equals Spark div; sums cast ::BIGINT to kill HUGEINT."""
     d_num, d_den = damping
     base = (d_den - d_num) * scale // d_den
-    parts = [f"""WITH {_EDGES_SQL},
+    parts = [f"""{_EDGES_SQL},
         od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
         nodes AS (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
@@ -358,8 +359,33 @@ def _pagerank_oracle_sql(n_iter: int = 6, scale: int = 1_000_000,
             JOIN r{it - 1} r ON e.src = r.node
             JOIN od o ON e.src = o.src
             GROUP BY e.dst) s ON n.node = s.node)""")
-    parts.append(f" SELECT node, pr FROM r{n_iter}")
     return "".join(parts)
+
+
+def _pagerank_oracle_sql(n_iter: int = 6) -> str:
+    return (f"WITH {_pagerank_ctes(n_iter)} "
+            f"SELECT node, pr FROM r{n_iter}")
+
+
+def _frontier_prioritized_oracle_sql(n_iter: int = 6,
+                                     mult: int = 500) -> str:
+    """Authority-weighted admission: per-host budget 1 + (pr*mult) //
+    sum(pr), then the per-host (depth, seq) top-budget — the plain
+    window form, which admit_budget's salted two-phase provably
+    equals."""
+    return f"""
+        WITH {_pagerank_ctes(n_iter)},
+        tot AS (SELECT sum(pr)::BIGINT AS t FROM r{n_iter}),
+        bud AS (SELECT node AS host,
+                       (1 + (pr * {mult}) // t)::BIGINT AS budget
+                FROM r{n_iter} CROSS JOIN tot),
+        frontier AS ({_FRONTIER_SQL}),
+        f AS (SELECT f.host, f.url, f.depth, f.seq, b.budget
+              FROM frontier f JOIN bud b ON f.host = b.host)
+        SELECT host, url, depth, seq, budget FROM f
+        QUALIFY row_number() OVER (PARTITION BY host
+                                   ORDER BY depth, seq) <= budget
+    """
 
 
 def _bpe_ctes(n_merges: int = 4) -> str:
@@ -872,6 +898,78 @@ def q_host_pagerank(spark, sf_dir):
     from ideacrawler_spark.operators.graph import pagerank
 
     return pagerank(_host_edges(spark, sf_dir), n_iter=6)
+
+
+def q_frontier_prioritized(spark, sf_dir):
+    """Authority-weighted admission: per-host budget 1 + (pr*500) div
+    sum(pr) from the host graph's PageRank, admitted through the same
+    salted two-phase top-k as production admission (host_budget_max=501
+    literal bound enables WindowGroupLimit) — crawl capacity follows
+    host authority, the classic frontier prioritization."""
+    from ideacrawler_spark.operators.admission import admit_budget
+    from ideacrawler_spark.operators.graph import pagerank
+
+    fr = _frontier(spark, sf_dir).select("host", "url", "depth", "seq")
+    pr = pagerank(_host_edges(spark, sf_dir), n_iter=6)
+    tot = pr.agg(F.sum("pr").alias("_tot"))
+    bud = (
+        pr.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("host"),
+            (F.lit(1) + F.expr("(pr * 500) div _tot"))
+            .cast("long").alias("budget"),
+        )
+    )
+    fr2 = fr.join(F.broadcast(bud), "host")
+    admitted, _carried = admit_budget(
+        fr2, F.col("budget"), host_budget_max=501)
+    return admitted.select("host", "url", "depth", "seq", "budget")
+
+
+def _snapshots(spark, sf_dir):
+    """Deterministic synthetic recrawl history from events: page id =
+    event_id div 4 observed at snapshot event_id mod 4, content version
+    fp = user_id mod 5, ~9% pseudo-random dropout so new/gone statuses
+    exist."""
+    ev = _load(spark, sf_dir, "events")
+    pid = F.expr("event_id div 4")
+    return ev.filter(F.col("user_id") % 11 != 0).select(
+        F.concat(F.lit("http://host"), (pid % 7).cast("string"),
+                 F.lit(".example/p/"), pid.cast("string")).alias("url"),
+        (F.col("event_id") % 4).cast("int").alias("snap"),
+        (F.col("user_id") % 5).cast("long").alias("fp"),
+    )
+
+
+_HIST_SQL = """
+hist AS (
+  SELECT 'http://host' || ((event_id // 4) % 7) || '.example/p/'
+           || (event_id // 4) AS url,
+         (event_id % 4)::INT AS snap,
+         (user_id % 5)::BIGINT AS fp
+  FROM events
+  WHERE user_id % 11 <> 0)
+"""
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Per-URL diff between two crawl snapshots (new/gone/changed/same)
+    — one full-outer join keyed on url."""
+    from ideacrawler_spark.operators.recrawl import snapshot_delta
+
+    h = _snapshots(spark, sf_dir)
+    return snapshot_delta(
+        h.filter(F.col("snap") == 2).select("url", "fp"),
+        h.filter(F.col("snap") == 3).select("url", "fp"),
+    )
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Change-driven exponential-backoff revisit schedule per URL from
+    the 4-snapshot observation history — integer-exact."""
+    from ideacrawler_spark.operators.recrawl import recrawl_schedule
+
+    return recrawl_schedule(_snapshots(spark, sf_dir))
 
 
 RETRIEVAL_TERMS = ("spark", "hash", "window")
@@ -1519,6 +1617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "term_retrieval": q_term_retrieval,
         "token_postings": q_token_postings,
+        "snapshot_delta": q_snapshot_delta,
+        "recrawl_schedule": q_recrawl_schedule,
+        "frontier_prioritized": q_frontier_prioritized,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1804,6 +1905,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         """,
         "ivf_train": _ivf_train_oracle_sql(),
         "host_pagerank": _pagerank_oracle_sql(),
+        "frontier_prioritized": _frontier_prioritized_oracle_sql(),
         "ann_lsh_buckets": _ANN_BUCKETS_SQL,
         "embedding_near_dup": f"""
             WITH {_QUANT_SQL}, {_planes_values_sql()},
@@ -2270,6 +2372,39 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                      AS postings_csv
             FROM tok GROUP BY tok
             HAVING count(*) >= 5
+        """,
+        "snapshot_delta": f"""
+            WITH {_HIST_SQL},
+            o AS (SELECT url, fp FROM hist WHERE snap = 2),
+            n AS (SELECT url, fp FROM hist WHERE snap = 3)
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.fp <> n.fp THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
+        "recrawl_schedule": f"""
+            WITH {_HIST_SQL},
+            x AS (SELECT url, snap, fp,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY snap) AS idx,
+                         lag(fp) OVER (PARTITION BY url
+                                       ORDER BY snap) AS prev
+                  FROM hist),
+            a AS (SELECT url,
+                         max(idx)::INT AS n_obs,
+                         count(DISTINCT fp)::INT AS n_versions,
+                         max(CASE WHEN prev IS NULL OR fp <> prev
+                                  THEN idx END)::INT AS lc,
+                         max(snap)::INT AS last_snap
+                  FROM x GROUP BY url)
+            SELECT url, n_obs, n_versions,
+                   (n_obs - lc)::INT AS tail_stable,
+                   (1 << least(n_obs - lc, 6))::INT AS next_interval,
+                   (last_snap + (1 << least(n_obs - lc, 6)))::INT
+                     AS next_due
+            FROM a
         """,
         "host_degrees": f"""
             WITH {_EDGES_SQL},

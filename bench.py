@@ -278,7 +278,9 @@ def main():
               "ann_lsh_topk", "langid", "fingerprint", "crawl_order",
               "budget_admit", "pipeline_curation", "contamination",
               "hll_registers", "mixture_weights", "bpe_train",
-              "surprisal_buckets", "per_source_cap"):
+              "surprisal_buckets", "per_source_cap", "host_pagerank",
+              "term_retrieval", "frontier_prioritized",
+              "recrawl_schedule"):
         atts = []
         for _ in range(micro_n):
             load0 = os.getloadavg()[0]
@@ -379,7 +381,7 @@ def main():
     op_scaling = {}
     for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
                   "sequence_pack", "lm_surprisal", "duplicate_spans",
-                  "bpe_token_count"):
+                  "bpe_token_count", "cms_registers", "token_postings"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0
