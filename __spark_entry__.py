@@ -900,6 +900,30 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(_host_edges(spark, sf_dir), n_iter=6)
 
 
+def q_anchor_corpus(spark, sf_dir):
+    """Anchor-text corpus: synthetic HTML pages (one per event, two
+    anchors each — a relative topic link and an absolute hub link) go
+    through the REAL tokenizer parse + resolve/canonicalize path; the
+    oracle re-derives the resolved targets arithmetically."""
+    from ideacrawler_spark.textops.anchors import anchor_corpus
+
+    ev = _load(spark, sf_dir, "events")
+    h = (F.col("user_id") % 7).cast("string")
+    t = (F.col("user_id") % 20).cast("string")
+    k = (F.col("event_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/t/'), t, F.lit('">topic '), t,
+        F.lit('</a><a href="http://hub.example/h/'), k,
+        F.lit('">hub '), k, F.lit("</a></body></html>"),
+    )
+    pages = ev.select(
+        F.concat(F.lit("http://host"), h, F.lit(".example/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return anchor_corpus(pages)
+
+
 def q_frontier_prioritized(spark, sf_dir):
     """Authority-weighted admission: per-host budget 1 + (pr*500) div
     sum(pr) from the host graph's PageRank, admitted through the same
@@ -1620,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "recrawl_schedule": q_recrawl_schedule,
         "frontier_prioritized": q_frontier_prioritized,
+        "anchor_corpus": q_anchor_corpus,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -2372,6 +2397,19 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                      AS postings_csv
             FROM tok GROUP BY tok
             HAVING count(*) >= 5
+        """,
+        "anchor_corpus": """
+            WITH u AS (
+              SELECT 'http://host' || (user_id % 7) || '.example/t/'
+                       || (user_id % 20) AS target,
+                     'topic ' || (user_id % 20) AS atext
+              FROM events
+              UNION ALL
+              SELECT 'http://hub.example/h/' || (event_id % 5),
+                     'hub ' || (event_id % 5)
+              FROM events)
+            SELECT target, atext, count(*)::BIGINT AS n
+            FROM u GROUP BY target, atext
         """,
         "snapshot_delta": f"""
             WITH {_HIST_SQL},
