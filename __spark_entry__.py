@@ -334,26 +334,41 @@ def _ivf_train_oracle_sql(n_cells: int = 8, iters: int = 2,
 
 
 def _pagerank_ctes(n_iter: int = 6, scale: int = 1_000_000,
-                   damping: tuple = (85, 100)) -> str:
+                   damping: tuple = (85, 100), seeds: tuple = None) -> str:
     """CTE chain (no WITH keyword) rebuilding the unrolled integer
     fixed-point PageRank (operators/graph.py), ending at r{n_iter}:
-    r'(v) = base + (d_num * sum in-contribs) // d_den, contrib =
-    r(u) // outdeg(u). All values non-negative BIGINTs so DuckDB //
-    equals Spark div; sums cast ::BIGINT to kill HUGEINT."""
+    r'(v) = base(v) + (d_num * sum in-contribs) // d_den, contrib =
+    r(u) // outdeg(u). With ``seeds``, base and initial mass go only to
+    the seed nodes (TrustRank). All values non-negative BIGINTs so
+    DuckDB // equals Spark div; sums cast ::BIGINT to kill HUGEINT."""
     d_num, d_den = damping
     base = (d_den - d_num) * scale // d_den
+    if seeds is None:
+        nb = f"""nb AS (SELECT node, {base}::BIGINT AS b FROM nodes),
+        r0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""
+    else:
+        seed_rows = ", ".join(f"('{s}')" for s in seeds)
+        nb = f"""seeds(node) AS (VALUES {seed_rows}),
+        nb AS (SELECT n.node,
+                      (CASE WHEN s.node IS NOT NULL THEN {base}
+                            ELSE 0 END)::BIGINT AS b
+               FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        r0 AS (SELECT node,
+                      (CASE WHEN b > 0 THEN {scale} ELSE 0 END)::BIGINT
+                        AS pr
+               FROM nb)"""
     parts = [f"""{_EDGES_SQL},
         od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
         nodes AS (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
-        r0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""]
+        {nb}"""]
     for it in range(1, n_iter + 1):
         parts.append(f""",
         r{it} AS (
           SELECT n.node,
-                 ({base} + ({d_num} * coalesce(s.s, 0)) // {d_den})::BIGINT
+                 (n.b + ({d_num} * coalesce(s.s, 0)) // {d_den})::BIGINT
                    AS pr
-          FROM nodes n LEFT JOIN (
+          FROM nb n LEFT JOIN (
             SELECT e.dst AS node, sum(r.pr // o.od)::BIGINT AS s
             FROM edges e
             JOIN r{it - 1} r ON e.src = r.node
@@ -364,6 +379,14 @@ def _pagerank_ctes(n_iter: int = 6, scale: int = 1_000_000,
 
 def _pagerank_oracle_sql(n_iter: int = 6) -> str:
     return (f"WITH {_pagerank_ctes(n_iter)} "
+            f"SELECT node, pr FROM r{n_iter}")
+
+
+TRUST_SEEDS = tuple(f"host{i}.example" for i in range(0, 50, 10))
+
+
+def _trustrank_oracle_sql(n_iter: int = 6) -> str:
+    return (f"WITH {_pagerank_ctes(n_iter, seeds=TRUST_SEEDS)} "
             f"SELECT node, pr FROM r{n_iter}")
 
 
@@ -898,6 +921,47 @@ def q_host_pagerank(spark, sf_dir):
     from ideacrawler_spark.operators.graph import pagerank
 
     return pagerank(_host_edges(spark, sf_dir), n_iter=6)
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank over the host graph: reset vector restricted to the 5
+    curated seed hosts — the link-spam demotion score; hosts unreachable
+    from seeds converge to 0."""
+    from ideacrawler_spark.operators.graph import trustrank
+
+    seeds = spark.createDataFrame(
+        [(s,) for s in TRUST_SEEDS], "node string")
+    return trustrank(_host_edges(spark, sf_dir), seeds, n_iter=6)
+
+
+def q_url_templates(spark, sf_dir):
+    """Crawler-trap mining: digit runs collapsed to N, URLs counted per
+    pattern — the pattern-level view that surfaces calendar traps and
+    pagination explosions before per-URL gating. The synthetic URL set
+    mixes four shapes (plain pages, a calendar trap, lettered tag
+    pagination, query-param items) so patterns genuinely differ."""
+    from ideacrawler_spark.operators.urlfilter import url_templates
+
+    ev = _load(spark, sf_dir, "events")
+    urls = ev.select(
+        F.expr("""
+            concat('http://host', user_id % 7, '.example',
+              CASE cast(event_id % 4 AS INT)
+                WHEN 0 THEN concat('/p/', event_id)
+                WHEN 1 THEN concat('/cal/2024/', event_id % 12, '/',
+                                   event_id % 28)
+                WHEN 2 THEN concat('/tag/',
+                                   substr('abcdefghijklmnopqrstuvwxyz',
+                                          cast(user_id % 26 AS INT) + 1,
+                                          1),
+                                   '/page/', event_id % 50)
+                ELSE concat('/item?id=', event_id)
+              END)
+        """).alias("url"),
+        F.concat(F.lit("host"), (F.col("user_id") % 7).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    return url_templates(urls, min_urls=2)
 
 
 def q_anchor_corpus(spark, sf_dir):
@@ -1645,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "frontier_prioritized": q_frontier_prioritized,
         "anchor_corpus": q_anchor_corpus,
+        "host_trustrank": q_host_trustrank,
+        "url_templates": q_url_templates,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1931,6 +1997,29 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "ivf_train": _ivf_train_oracle_sql(),
         "host_pagerank": _pagerank_oracle_sql(),
         "frontier_prioritized": _frontier_prioritized_oracle_sql(),
+        "host_trustrank": _trustrank_oracle_sql(),
+        "url_templates": """
+            WITH u AS (
+              SELECT 'http://host' || (user_id % 7) || '.example' ||
+                     CASE (event_id % 4)::INT
+                       WHEN 0 THEN '/p/' || event_id
+                       WHEN 1 THEN '/cal/2024/' || (event_id % 12)
+                                   || '/' || (event_id % 28)
+                       WHEN 2 THEN '/tag/'
+                                   || substr('abcdefghijklmnopqrstuvwxyz',
+                                             (user_id % 26)::INT + 1, 1)
+                                   || '/page/' || (event_id % 50)
+                       ELSE '/item?id=' || event_id
+                     END AS url,
+                     'host' || (user_id % 7) || '.example' AS host
+              FROM events)
+            SELECT regexp_replace(url, '\\d+', 'N', 'g') AS pattern,
+                   count(*)::BIGINT AS n_urls,
+                   count(DISTINCT host)::BIGINT AS n_hosts
+            FROM u
+            GROUP BY pattern
+            HAVING count(*) >= 2
+        """,
         "ann_lsh_buckets": _ANN_BUCKETS_SQL,
         "embedding_near_dup": f"""
             WITH {_QUANT_SQL}, {_planes_values_sql()},

@@ -381,7 +381,8 @@ def main():
     op_scaling = {}
     for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
                   "sequence_pack", "lm_surprisal", "duplicate_spans",
-                  "bpe_token_count", "cms_registers", "token_postings"):
+                  "bpe_token_count", "cms_registers", "token_postings",
+                  "anchor_corpus"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0

@@ -63,13 +63,21 @@ def host_degrees(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
-             damping: tuple = (85, 100)) -> DataFrame:
+             damping: tuple = (85, 100),
+             seeds: DataFrame = None) -> DataFrame:
     """Integer fixed-point PageRank over an (src, dst) edge table.
 
-    Returns (node, rank) with rank in units of 1/``scale`` under the
+    Returns (node, pr) with pr in units of 1/``scale`` under the
     per-node formulation (a node with no in-links converges to
     base = (1-d)*scale). ``n_iter`` is fixed (no convergence probe) so
     the unrolled SQL oracle can rebuild the exact integers.
+
+    ``seeds`` (optional, a (node) frame) switches the reset vector from
+    uniform to the seed set — TrustRank (Gyöngyi et al., VLDB 2004):
+    only seed nodes receive the base term and the initial mass, so
+    authority flows outward from the trusted set and spam clusters
+    unreachable from seeds converge to 0. Seed lists are curated and
+    tiny, so the seed-flag join broadcasts.
 
     Scale shape per iteration: ranks join onto the (src, dst, od) link
     table — both sides shuffle-keyed on src (the link side is computed
@@ -91,10 +99,27 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if seeds is None:
+        nodes = nodes.withColumn("_base", F.lit(base).cast("long"))
+    else:
+        nodes = nodes.join(
+            F.broadcast(
+                seeds.select("node").distinct()
+                .withColumn("_s", F.lit(1))),
+            "node", "left",
+        ).select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(base))
+            .otherwise(F.lit(0)).cast("long").alias("_base"),
+        )
+    nodes = nodes.persist()
+    init = scale if seeds is None else None
     ranks = nodes.select(
-        "node", F.lit(scale).cast("long").alias("pr"))
+        "node",
+        (F.lit(init).cast("long") if init is not None
+         else F.expr(f"if(_base > 0, {scale}L, 0L)")).alias("pr"),
+    )
     for _ in range(n_iter):
         sums = (
             links.join(ranks, links["src"] == ranks["node"])
@@ -107,7 +132,7 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
             nodes.join(sums, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.expr(
+                (F.col("_base") + F.expr(
                     f"({d_num} * coalesce(s, 0L)) div {d_den}"))
                 .cast("long").alias("pr"),
             )
@@ -116,3 +141,13 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
     links.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 6,
+              scale: int = 1_000_000,
+              damping: tuple = (85, 100)) -> DataFrame:
+    """TrustRank: PageRank with the reset vector restricted to a curated
+    seed set — the standard link-spam demotion signal. See ``pagerank``.
+    """
+    return pagerank(edges, n_iter=n_iter, scale=scale, damping=damping,
+                    seeds=seeds)

@@ -114,3 +114,33 @@ GATING_COLS = ("blocked", "n_host_digits", "path_depth", "n_params",
 
 def drop_gating_cols(df: DataFrame) -> DataFrame:
     return df.drop(*GATING_COLS)
+
+
+def url_templates(df: DataFrame, min_urls: int = 2,
+                  url_col: str = "url",
+                  host_col: str = "host") -> DataFrame:
+    """Crawler-trap / template mining: collapse every digit run in the
+    URL to ``N`` and count URLs per resulting pattern. Calendar traps,
+    session-id explosions and infinite pagination all surface as one
+    pattern with a huge ``n_urls`` — the standard pre-filter before
+    per-URL gating (a pattern-level block is one row; the URLs it
+    covers can be millions).
+
+    Returns (pattern, n_urls, n_hosts) for patterns with at least
+    ``min_urls`` URLs. Scale shape: one map-side regexp projection and
+    ONE partial-aggregated groupBy(pattern); the hot pattern collapses
+    to a row per map task before the exchange (count + distinct-host
+    partial aggs).
+    """
+    return (
+        df.select(
+            F.regexp_replace(F.col(url_col), r"\d+", "N").alias("pattern"),
+            F.col(host_col).alias("_h"),
+        )
+        .groupBy("pattern")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("_h").cast("long").alias("n_hosts"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

@@ -63,3 +63,43 @@ def test_pagerank_sink_node_keeps_base_mass(spark):
            for r in pagerank(_edges(spark, edges), n_iter=3).collect()}
     assert got == _pagerank_py(edges, n_iter=3)
     assert got["a"] == got["c"] == 150_000
+
+
+def test_trustrank_spam_island_converges_to_zero(spark):
+    """TrustRank: only seeds carry the reset term, so a cluster with no
+    path from the seed set ends at rank 0 while the seeded component
+    keeps its mass; values match the integer reference with a seeded
+    base vector."""
+    from ideacrawler_spark.operators.graph import trustrank
+
+    edges = [("a", "b"), ("b", "a"),          # seeded 2-cycle
+             ("c", "d"), ("d", "c")]          # spam island, unreachable
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["pr"]
+           for r in trustrank(_edges(spark, edges), seeds,
+                              n_iter=6).collect()}
+    assert got["c"] == 0 and got["d"] == 0
+    # seeded reference: base/init only for 'a'
+    base, scale = 150_000, 1_000_000
+    r = {"a": scale, "b": 0}
+    for _ in range(6):
+        r = {"a": base + (85 * r["b"]) // 100,
+             "b": (85 * r["a"]) // 100}
+    assert got["a"] == r["a"] and got["b"] == r["b"]
+
+
+def test_url_templates_pattern_counts(spark):
+    from ideacrawler_spark.operators.urlfilter import url_templates
+
+    df = spark.createDataFrame(
+        [("http://a.example/cal/2024/1/5", "a.example"),
+         ("http://a.example/cal/2023/12/31", "a.example"),
+         ("http://b.example/cal/2024/3/9", "b.example"),
+         ("http://a.example/about", "a.example"),
+         ("http://a.example/p/7", "a.example")],
+        "url string, host string")
+    got = {r["pattern"]: (r["n_urls"], r["n_hosts"])
+           for r in url_templates(df, min_urls=2).collect()}
+    # the calendar trap aggregates across its digit axes; singletons
+    # (/about, /p/7, b's lone calendar URL) fall below min_urls
+    assert got == {"http://a.example/cal/N/N/N": (2, 1)}
