@@ -923,6 +923,15 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(_host_edges(spark, sf_dir), n_iter=6)
 
 
+def q_classifier_score(spark, sf_dir):
+    """Hashed-feature linear quality classifier (fastText-inference
+    shape): integer score over 4096 hashed token buckets with a fixed
+    synthetic weight table, keep = score > 0."""
+    from ideacrawler_spark.textops.classify import classifier_score
+
+    return classifier_score(_load(spark, sf_dir, "documents"))
+
+
 def q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph: reset vector restricted to the 5
     curated seed hosts — the link-spam demotion score; hosts unreachable
@@ -1711,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_corpus": q_anchor_corpus,
         "host_trustrank": q_host_trustrank,
         "url_templates": q_url_templates,
+        "classifier_score": q_classifier_score,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1998,6 +2008,25 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "host_pagerank": _pagerank_oracle_sql(),
         "frontier_prioritized": _frontier_prioritized_oracle_sql(),
         "host_trustrank": _trustrank_oracle_sql(),
+        "classifier_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     ({_h60_sql('tok')} % 4096)::INT AS bucket
+              FROM tok),
+            w AS (
+              SELECT t.b::INT AS bucket,
+                     (({_h60_sql("'w' || t.b")} % 2001) - 1000)::BIGINT
+                       AS w
+              FROM range(0, 4096) t(b))
+            SELECT f.doc_id,
+                   sum(w.w)::BIGINT AS score,
+                   (sum(w.w) > 0) AS keep
+            FROM f JOIN w USING (bucket)
+            GROUP BY f.doc_id
+        """,
         "url_templates": """
             WITH u AS (
               SELECT 'http://host' || (user_id % 7) || '.example' ||

@@ -1067,3 +1067,25 @@ def test_token_quantiles_exact_order_statistics(spark):
            for r in token_quantiles(docs).collect()}
     # n=10: ceil ranks 25->3, 50->5, 75->8, 90->9, 99->10
     assert got == {25: 3, 50: 5, 75: 8, 90: 9, 99: 10}
+
+
+def test_classifier_score_linear_hand_computed(spark):
+    """score = sum of per-token bucket weights (repeats count); keep is
+    strictly-positive; verified against a driver-side md5 reference."""
+    import hashlib
+
+    from ideacrawler_spark.textops.classify import classifier_score
+
+    def w_of(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4096
+        h = int(hashlib.md5(f"w{b}".encode()).hexdigest()[:15], 16)
+        return (h % 2001) - 1000
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["score"], r["keep"])
+           for r in classifier_score(docs).collect()}
+    s1 = 2 * w_of("alpha") + w_of("beta")
+    s2 = w_of("gamma")
+    assert got == {1: (s1, s1 > 0), 2: (s2, s2 > 0)}
