@@ -382,6 +382,47 @@ def _pagerank_oracle_sql(n_iter: int = 6) -> str:
             f"SELECT node, pr FROM r{n_iter}")
 
 
+def _hits_oracle_sql(n_iter: int = 4, scale: int = 1000) -> str:
+    """Unrolled integer HITS (operators/graph.py:hits): per iteration
+    an authority half-step then a hub half-step, each max-normalized by
+    integer division (greatest(max,1) guard). Non-negative BIGINTs
+    throughout, sums cast ::BIGINT."""
+    parts = [f"""WITH {_EDGES_SQL},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)"""]
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+        a{it}raw AS (
+          SELECT e.dst AS node, sum(h.h)::BIGINT AS r
+          FROM edges e JOIN h{it - 1} h ON e.src = h.node
+          GROUP BY e.dst),
+        a{it}m AS (SELECT greatest(max(r), 1)::BIGINT AS m FROM a{it}raw),
+        a{it} AS (
+          SELECT n.node,
+                 ((coalesce(r.r, 0) * {scale}) // m.m)::BIGINT AS a
+          FROM nodes n LEFT JOIN a{it}raw r ON n.node = r.node
+          CROSS JOIN a{it}m m),
+        h{it}raw AS (
+          SELECT e.src AS node, sum(a.a)::BIGINT AS r
+          FROM edges e JOIN a{it} a ON e.dst = a.node
+          GROUP BY e.src),
+        h{it}m AS (SELECT greatest(max(r), 1)::BIGINT AS m FROM h{it}raw),
+        h{it} AS (
+          SELECT n.node,
+                 ((coalesce(r.r, 0) * {scale}) // m.m)::BIGINT AS h
+          FROM nodes n LEFT JOIN h{it}raw r ON n.node = r.node
+          CROSS JOIN h{it}m m)""")
+    parts.append(f"""
+        SELECT n.node,
+               coalesce(a.a, 0)::BIGINT AS auth,
+               coalesce(h.h, 0)::BIGINT AS hub
+        FROM nodes n
+        LEFT JOIN a{n_iter} a ON n.node = a.node
+        LEFT JOIN h{n_iter} h ON n.node = h.node""")
+    return "".join(parts)
+
+
 TRUST_SEEDS = tuple(f"host{i}.example" for i in range(0, 50, 10))
 
 
@@ -921,6 +962,14 @@ def q_host_pagerank(spark, sf_dir):
     from ideacrawler_spark.operators.graph import pagerank
 
     return pagerank(_host_edges(spark, sf_dir), n_iter=6)
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hubs & authorities over the synthetic host graph — the
+    directory-page vs destination-page split PageRank can't see."""
+    from ideacrawler_spark.operators.graph import hits
+
+    return hits(_host_edges(spark, sf_dir), n_iter=4)
 
 
 def q_classifier_score(spark, sf_dir):
@@ -1721,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "url_templates": q_url_templates,
         "classifier_score": q_classifier_score,
+        "host_hits": q_host_hits,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -2008,6 +2058,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "host_pagerank": _pagerank_oracle_sql(),
         "frontier_prioritized": _frontier_prioritized_oracle_sql(),
         "host_trustrank": _trustrank_oracle_sql(),
+        "host_hits": _hits_oracle_sql(),
         "classifier_score": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -143,6 +143,70 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
     return ranks
 
 
+def hits(edges: DataFrame, n_iter: int = 4,
+         scale: int = 1000) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in integer fixed-point:
+    per iteration, authority(v) = Σ over in-edges of hub(u) and
+    hub(u) = Σ over out-edges of the NEW authority(v), each rescaled to
+    [0, scale] by integer division with the vector max (the max is a
+    one-row broadcast aggregate, never a driver collect; greatest(·,1)
+    guards degenerate zero vectors). Returns (node, auth, hub).
+
+    ``scale`` is deliberately small (10^3): raw sums are bounded by
+    |V|·scale and the rescale multiplies by scale again, so BIGINTs are
+    safe to |V| ~ 10^12. Three digits of score resolution is plenty for
+    a ranking signal.
+
+    Scale shape mirrors ``pagerank``: each half-step is one equi-join
+    of a score vector onto the cached edge list (edges shuffled once
+    for the whole run) + one partial-aggregated groupBy; n_iter is
+    fixed so the unrolled SQL oracle rebuilds the exact integers.
+    """
+    links = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    auth = nodes.select("node", F.lit(scale).cast("long").alias("a"))
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+
+    def _half(vec, vec_col, join_src, out_key):
+        raw = (
+            links.join(vec, links[join_src] == vec["node"])
+            .groupBy(links[out_key].alias("node"))
+            .agg(F.sum(vec_col).alias("_r"))
+        )
+        m = raw.agg(F.greatest(F.max("_r"), F.lit(1)).alias("_m"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.expr(f"(coalesce(_r, 0L) * {scale}) div _m")
+                .cast("long").alias(vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(n_iter):
+        auth = _half(hub, "h", "src", "dst").withColumnRenamed("h", "a")
+        hub = _half(auth, "a", "dst", "src").withColumnRenamed("a", "h")
+    out = (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+    links.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 6,
               scale: int = 1_000_000,
               damping: tuple = (85, 100)) -> DataFrame:

@@ -103,3 +103,40 @@ def test_url_templates_pattern_counts(spark):
     # the calendar trap aggregates across its digit axes; singletons
     # (/about, /p/7, b's lone calendar URL) fall below min_urls
     assert got == {"http://a.example/cal/N/N/N": (2, 1)}
+
+
+def test_hits_star_and_integer_reference(spark):
+    """Star x->{a,b,c}: x is the pure hub (auth 0, hub scale), a/b/c
+    pure authorities (auth scale, hub 0) — an exact fixpoint of the
+    max-normalized integer iteration; a second asymmetric graph is
+    checked against an independent dict-based integer reference."""
+    from ideacrawler_spark.operators.graph import hits
+
+    star = _edges(spark, [("x", "a"), ("x", "b"), ("x", "c")])
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(star, n_iter=4).collect()}
+    assert got == {"x": (0, 1000), "a": (1000, 0),
+                   "b": (1000, 0), "c": (1000, 0)}
+
+    edges = [("x", "a"), ("x", "b"), ("y", "b"), ("b", "a")]
+
+    def ref(edges, n_iter, scale=1000):
+        nodes = sorted({u for e in edges for u in e})
+        h = {n: scale for n in nodes}
+        for _ in range(n_iter):
+            araw = {n: 0 for n in nodes}
+            for u, v in edges:
+                araw[v] += h[u]
+            m = max(max(araw.values()), 1)
+            a = {n: (araw[n] * scale) // m for n in nodes}
+            hraw = {n: 0 for n in nodes}
+            for u, v in edges:
+                hraw[u] += a[v]
+            m = max(max(hraw.values()), 1)
+            h = {n: (hraw[n] * scale) // m for n in nodes}
+        return a, h
+
+    a, h = ref(edges, 4)
+    got2 = {r["node"]: (r["auth"], r["hub"])
+            for r in hits(_edges(spark, edges), n_iter=4).collect()}
+    assert got2 == {n: (a[n], h[n]) for n in a}
