@@ -1654,6 +1654,19 @@ def q_pipeline_pretrain(spark, sf_dir):
         "doc_id", "source", "n_tokens", "src_rank")
 
 
+def q_pipeline_v3(spark, sf_dir):
+    """Pipeline v2 plus the classifier gate — every quality family
+    (heuristic, span-dup, contamination, linear classifier) composed in
+    one value-checked plan."""
+    from ideacrawler_spark.textops.classify import classifier_score
+
+    clf = (
+        classifier_score(_load(spark, sf_dir, "documents"))
+        .filter(F.col("keep")).select("doc_id")
+    )
+    return q_pipeline_pretrain(spark, sf_dir).join(clf, "doc_id")
+
+
 def q_multimodal_features(spark, sf_dir):
     from ideacrawler_spark.textops.multimodal import extract_features, synth_media
 
@@ -1791,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_features": q_frame_features,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_pretrain": q_pipeline_pretrain,
+        "pipeline_v3": q_pipeline_v3,
     }
 
 
@@ -1840,6 +1854,14 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY doc_id)::INT AS src_rank
           FROM keep)
         WHERE src_rank <= 10
+    """
+    # pipeline v3 = v2 + the classifier gate, the full gate stack
+    d["pipeline_v3"] = f"""
+        WITH pp AS ({d["pipeline_pretrain"]}),
+        clf AS ({d["classifier_score"]})
+        SELECT pp.doc_id, pp.source, pp.n_tokens, pp.src_rank
+        FROM pp JOIN clf USING (doc_id)
+        WHERE clf.keep
     """
     # IVF recall@5: same composition over the (oracled) ivf_topk query.
     d["ivf_recall"] = f"""
