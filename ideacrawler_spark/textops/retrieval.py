@@ -60,19 +60,33 @@ def term_retrieval(docs: DataFrame, terms, k: int = 10,
 
 
 def token_postings(docs: DataFrame, min_df: int = 2,
+                   max_df: int = None,
                    text_col: str = "text") -> DataFrame:
     """Full inverted index: (tok, df, postings_csv) with postings_csv =
     the sorted doc_id list (CSV-serialized for cross-engine value
     hashing, same convention as outlink_sets), restricted to tokens
     appearing in >= min_df docs. One distinct + one partial-agg groupBy
-    keyed on tok; a mega-token's postings list is bounded by the corpus,
-    and min_df prunes the hapax tail that dominates vocabulary size."""
-    return (
+    keyed on tok; min_df prunes the hapax tail that dominates
+    vocabulary size.
+
+    Scale hazard and its knob: a stopword-grade token's postings list
+    is O(corpus) in ONE row — at 10^10 docs that's a multi-GB cell. Set
+    ``max_df`` (the standard stopword cutoff) to drop those tokens; the
+    collect_list then only runs on tokens whose df passed both bounds
+    (the df filter is applied to a count-only first pass, BEFORE any
+    postings list is materialized)."""
+    tok = (
         docs.select("doc_id",
                     F.explode(words_col(text_col)).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
-        .groupBy("tok")
+    )
+    if max_df is not None:
+        dfs = tok.groupBy("tok").agg(F.count("*").alias("_df")).filter(
+            (F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        tok = tok.join(dfs.select("tok"), "tok")
+    return (
+        tok.groupBy("tok")
         .agg(
             F.count("*").cast("long").alias("df"),
             F.array_join(F.sort_array(F.collect_list("doc_id")), ",")

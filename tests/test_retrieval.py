@@ -42,3 +42,10 @@ def test_token_postings_sorted_and_min_df(spark):
            for r in token_postings(docs, min_df=2).collect()}
     # per-doc DISTINCT: duplicate x in doc 2 counts once; y df=2
     assert got == {"x": (3, "1,2,3"), "y": (2, "2,3")}
+
+
+def test_token_postings_max_df_drops_stopwords(spark):
+    docs = _docs(spark, [(1, "the x"), (2, "the y"), (3, "the x z")])
+    got = {r["tok"] for r in token_postings(
+        docs, min_df=2, max_df=2).collect()}
+    assert got == {"x"}  # 'the' (df=3) over max_df; y/z hapax
