@@ -280,7 +280,7 @@ def main():
               "hll_registers", "mixture_weights", "bpe_train",
               "surprisal_buckets", "per_source_cap", "host_pagerank",
               "term_retrieval", "frontier_prioritized",
-              "recrawl_schedule"):
+              "recrawl_schedule", "pipeline_v3"):
         atts = []
         for _ in range(micro_n):
             load0 = os.getloadavg()[0]
@@ -382,7 +382,7 @@ def main():
     for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
                   "sequence_pack", "lm_surprisal", "duplicate_spans",
                   "bpe_token_count", "cms_registers", "token_postings",
-                  "anchor_corpus"):
+                  "anchor_corpus", "classifier_score"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0
