@@ -1089,3 +1089,16 @@ def test_classifier_score_linear_hand_computed(spark):
     s1 = 2 * w_of("alpha") + w_of("beta")
     s2 = w_of("gamma")
     assert got == {1: (s1, s1 > 0), 2: (s2, s2 > 0)}
+
+
+def test_classifier_weight_dim_broadcast_hint(spark):
+    """The 4096-row model dim carries the only broadcast hint; the
+    corpus side is never hinted (plan pin for the scale-critical join
+    direction)."""
+    from ideacrawler_spark.textops.classify import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string")
+    out = classifier_score(docs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
