@@ -981,6 +981,14 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(_load(spark, sf_dir, "documents"))
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language BPE tokens per 1000 words — the multilingual
+    tokenizer health metric, from the corpus-trained BPE."""
+    from ideacrawler_spark.textops.bpe import tokenizer_fertility
+
+    return tokenizer_fertility(_load(spark, sf_dir, "documents"))
+
+
 def q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph: reset vector restricted to the 5
     curated seed hosts — the link-spam demotion score; hosts unreachable
@@ -1784,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "classifier_score": q_classifier_score,
         "host_hits": q_host_hits,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1854,6 +1863,18 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY doc_id)::INT AS src_rank
           FROM keep)
         WHERE src_rank <= 10
+    """
+    # per-lang fertility over the (oracled) per-doc BPE counts
+    d["tokenizer_fertility"] = f"""
+        WITH btc AS ({d["bpe_token_count"]})
+        SELECT d.lang,
+               count(*)::BIGINT AS n_docs,
+               sum(b.n_words)::BIGINT AS n_words,
+               sum(b.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+               ((sum(b.n_bpe_tokens) * 1000) // sum(b.n_words))::BIGINT
+                 AS fert_x1000
+        FROM btc b JOIN documents d USING (doc_id)
+        GROUP BY d.lang
     """
     # pipeline v3 = v2 + the classifier gate, the full gate stack
     d["pipeline_v3"] = f"""

@@ -155,3 +155,28 @@ def bpe_token_count(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def tokenizer_fertility(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Per-language tokenizer fertility: (lang, n_docs, n_words,
+    n_bpe_tokens, fert_x1000) with fert_x1000 = BPE tokens per 1000
+    whitespace words — the standard multilingual-tokenizer health
+    metric (a language whose fertility balloons is being shredded into
+    bytes and will be under-trained at a fixed token budget). Integer
+    exact: one join of the per-doc counts back to the lang column and
+    one partial-aggregated groupBy(lang)."""
+    per_doc = bpe_token_count(docs, n_merges=n_merges)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 1000) div n_words").cast("long")
+            .alias("fert_x1000"),
+        )
+    )

@@ -57,3 +57,19 @@ def test_bpe_separator_absent_from_corpus_words(spark):
     assert SEP not in "plain ascii words only" and SEP2 == SEP + SEP
     rows = word_types(docs).collect()
     assert all(SEP not in r["word"] for r in rows)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """With zero merges every char is a token: fertility = chars per
+    word x1000 exactly; langs aggregate independently."""
+    from ideacrawler_spark.textops.bpe import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en"), (2, "abcd", "en"), (3, "a a a", "de")],
+        "doc_id long, text string, lang string")
+    got = {r["lang"]: (r["n_docs"], r["n_words"], r["n_bpe_tokens"],
+                       r["fert_x1000"])
+           for r in tokenizer_fertility(docs, n_merges=0).collect()}
+    # en: words [ab, ab, abcd] -> 2+2+4 = 8 syms over 3 words
+    # de: [a, a, a] -> 3 syms over 3 words
+    assert got == {"en": (2, 3, 8, 2666), "de": (1, 3, 3, 1000)}
