@@ -1463,6 +1463,18 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram over the near-dup components — the dedup
+    report's lead number."""
+    from ideacrawler_spark.textops.dedup import (
+        cluster_size_histogram,
+        dedup_components,
+    )
+
+    pairs = minhash_lsh_pairs(_load(spark, sf_dir, "documents"), bucket_cap=64)
+    return cluster_size_histogram(dedup_components(pairs))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-sampled training-data mix: per-language integer
     rates over the portable h60 hash (map-side filter, no shuffle)."""
@@ -1793,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "host_hits": q_host_hits,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -1863,6 +1876,14 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY doc_id)::INT AS src_rank
           FROM keep)
         WHERE src_rank <= 10
+    """
+    # cluster-size histogram over the (oracled) component labels
+    d["dedup_cluster_sizes"] = f"""
+        WITH c AS ({d["dedup_components"]})
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM (SELECT component, count(*)::BIGINT AS cluster_size
+              FROM c GROUP BY component)
+        GROUP BY cluster_size
     """
     # per-lang fertility over the (oracled) per-doc BPE counts
     d["tokenizer_fertility"] = f"""

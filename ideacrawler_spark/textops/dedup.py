@@ -359,3 +359,17 @@ def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
             .cast("int").alias("n_dropped"),
         )
     )
+
+
+def cluster_size_histogram(labels: DataFrame) -> DataFrame:
+    """Dedup observability: (cluster_size, n_clusters) over the
+    connected-component labels — the number the dedup report leads with
+    ("how big are the near-dup families?"). Two partial-aggregated
+    groupBys (component, then size); both shuffles carry one row per
+    cluster / per distinct size, never per doc."""
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )

@@ -1102,3 +1102,14 @@ def test_classifier_weight_dim_broadcast_hint(spark):
     out = classifier_score(docs)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+def test_cluster_size_histogram_hand_computed(spark):
+    from ideacrawler_spark.textops.dedup import cluster_size_histogram
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, component long")
+    got = {r["cluster_size"]: r["n_clusters"]
+           for r in cluster_size_histogram(labels).collect()}
+    assert got == {3: 1, 2: 1, 1: 1}
