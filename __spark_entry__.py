@@ -1475,6 +1475,18 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     return cluster_size_histogram(dedup_components(pairs))
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental dedup: the doc_id >= 250 batch checked against the
+    doc_id < 250 corpus via the band tables — no corpus self-join."""
+    from ideacrawler_spark.textops.dedup import incremental_near_dup
+
+    docs = _load(spark, sf_dir, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-sampled training-data mix: per-language integer
     rates over the portable h60 hash (map-side filter, no shuffle)."""
@@ -1806,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "tokenizer_fertility": q_tokenizer_fertility,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "incremental_near_dup": q_incremental_near_dup,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -2044,6 +2057,26 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
+        """,
+        "incremental_near_dup": f"""
+            WITH {_SHINGLES_SQL}, {_PERMS_SQL},
+            mh AS (
+              SELECT doc_id, j, min((a * sh + b) % 2147483647) AS mh
+              FROM sh CROSS JOIN perms GROUP BY doc_id, j),
+            bands AS (
+              SELECT doc_id, CAST(j // 2 AS INT) AS band,
+                     md5(string_agg(CAST(mh AS VARCHAR), ','
+                                    ORDER BY j)) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT)),
+            nb AS (SELECT * FROM bands WHERE doc_id >= 250),
+            eb AS (
+              SELECT doc_id, band, band_sig
+              FROM (SELECT * FROM bands WHERE doc_id < 250)
+              QUALIFY row_number() OVER (PARTITION BY band, band_sig
+                                         ORDER BY doc_id) <= 64)
+            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
+            FROM nb n JOIN eb e
+              ON n.band = e.band AND n.band_sig = e.band_sig
         """,
         "simhash": f"""
             WITH wrd AS (

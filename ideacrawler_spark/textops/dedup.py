@@ -373,3 +373,43 @@ def cluster_size_histogram(labels: DataFrame) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count("*").cast("long").alias("n_clusters"))
     )
+
+
+def incremental_near_dup(new_docs: DataFrame, existing_docs: DataFrame,
+                         bucket_cap: int = 64) -> DataFrame:
+    """Incremental dedup — the production pattern at corpus scale: a NEW
+    batch is checked against the EXISTING corpus without re-pairing the
+    corpus with itself. Returns (new_id, old_id) candidate pairs: new
+    docs sharing any LSH band bucket with an existing doc.
+
+    In production ``existing_docs``'s band table is a materialized
+    signatures table maintained across ingests (this function recomputes
+    it from text for the oracle's sake — the join shape is identical).
+    The join is new-bands ⋈ existing-bands on (band, band_sig): the new
+    batch is small relative to the corpus, so per-bucket fan-out is
+    bounded by ``bucket_cap`` applied to the EXISTING side (the side
+    that can hold a boilerplate mega-cluster) exactly as in
+    minhash_lsh_pairs — a new doc landing in a capped bucket emits at
+    most cap pairs. Unlike the batch self-join there is no quadratic
+    term at all: output <= |new bands| * cap.
+    """
+    nb = minhash_band_signatures(new_docs)
+    eb = minhash_band_signatures(existing_docs)
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    eb = (
+        eb.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= bucket_cap)
+        .drop("_r")
+    )
+    return (
+        nb.alias("n").join(
+            eb.alias("e"),
+            on=[F.col("n.band") == F.col("e.band"),
+                F.col("n.band_sig") == F.col("e.band_sig")],
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )

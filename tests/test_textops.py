@@ -1113,3 +1113,20 @@ def test_cluster_size_histogram_hand_computed(spark):
     got = {r["cluster_size"]: r["n_clusters"]
            for r in cluster_size_histogram(labels).collect()}
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_incremental_near_dup_finds_cross_batch_only(spark):
+    """New docs pair only with existing docs (never new-new); identical
+    text guarantees identical band signatures."""
+    from ideacrawler_spark.textops.dedup import incremental_near_dup
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, t), (2, "completely different text about spark shuffles")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, t), (11, t), (12, "novel content with no duplicate")],
+        "doc_id long, text string")
+    got = {(r["new_id"], r["old_id"])
+           for r in incremental_near_dup(new, existing).collect()}
+    assert got == {(10, 1), (11, 1)}  # 10/11 never pair with each other
