@@ -1475,6 +1475,15 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     return cluster_size_histogram(dedup_components(pairs))
 
 
+def q_shard_plan(spark, sf_dir):
+    """Output-shard manifest: docs assigned to fixed-token-budget shards
+    by global token offset (two-phase prefix sum, no corpus window)."""
+    from ideacrawler_spark.textops.packing import shard_plan
+
+    return shard_plan(_load(spark, sf_dir, "documents"),
+                      shard_tokens=4096)
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental dedup: the doc_id >= 250 batch checked against the
     doc_id < 250 corpus via the band tables — no corpus self-join."""
@@ -1819,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "incremental_near_dup": q_incremental_near_dup,
+        "shard_plan": q_shard_plan,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "lineitem_groups": q_lineitem_groups,
@@ -2057,6 +2067,24 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
+        """,
+        "shard_plan": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n
+                       AS tok_start
+              FROM t)
+            SELECT (tok_start // 4096)::BIGINT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY shard
         """,
         "incremental_near_dup": f"""
             WITH {_SHINGLES_SQL}, {_PERMS_SQL},

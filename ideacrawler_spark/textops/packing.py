@@ -34,28 +34,13 @@ from pyspark.sql import functions as F
 from ideacrawler_spark.textops.dedup import words_col
 
 
-def pack_sequences(
-    docs: DataFrame,
-    ctx_len: int = 1024,
-    text_col: str = "text",
-    num_range_parts: int = 32,
-) -> DataFrame:
-    """Pack the corpus token stream (doc_id order) into ``ctx_len``-token
-    training contexts.
-
-    Returns one row per context chunk: (chunk_id, n_docs, n_tokens,
-    first_doc, last_doc) — n_docs counts documents CONTRIBUTING tokens to
-    the chunk (a long document spans several chunks and counts in each),
-    n_tokens == ctx_len everywhere except the final partial chunk. All
-    columns are integers.
-
-    Scale shape: the global token offset is a two-phase prefix sum (see
-    module docstring) — the only empty-partition-spec window runs over
-    the per-partition totals (``num_range_parts`` rows), never the data.
-    The chunk assignment is a map-side explode of each doc's
-    [first_chunk, last_chunk] span followed by one hash aggregation on
-    chunk_id.
-    """
+def token_offsets(docs: DataFrame, text_col: str = "text",
+                  num_range_parts: int = 32) -> DataFrame:
+    """(doc_id, n_tok, cum, tok_start, pid): the global token offset of
+    every document in doc_id order, via the distributed two-phase prefix
+    sum described in the module docstring — the only empty-partition
+    window runs over ``num_range_parts`` per-partition totals, never the
+    data. Shared by pack_sequences and shard_plan."""
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(words_col(text_col)).cast("long").alias("n_tok"),
@@ -78,11 +63,62 @@ def pack_sequences(
     offs = totals.withColumn(
         "off", F.coalesce(F.sum("ptot").over(w_off), F.lit(0).cast("long"))
     )
-    g = (
+    return (
         local.join(F.broadcast(offs.select("pid", "off")), "pid")
         .withColumn("cum", F.col("lcum") + F.col("off"))
         .withColumn("tok_start", F.col("cum") - F.col("n_tok"))
     )
+
+
+def shard_plan(docs: DataFrame, shard_tokens: int = 4096,
+               text_col: str = "text",
+               num_range_parts: int = 32) -> DataFrame:
+    """Output-writer planning: assign documents (in doc_id order) to
+    fixed-token-budget output shards — shard = tok_start div
+    ``shard_tokens``, i.e. each doc goes to the shard where its first
+    token lands, so every shard holds ~shard_tokens tokens give or take
+    one document. Returns per-shard stats (shard, n_docs, n_tokens,
+    first_doc, last_doc) — the manifest a parallel writer consumes.
+
+    Same two-phase prefix sum as pack_sequences (no corpus-sized
+    window); the final aggregation is one partial-agg groupBy(shard)."""
+    g = token_offsets(docs, text_col, num_range_parts)
+    t = F.lit(int(shard_tokens)).cast("long")
+    return (
+        g.withColumn("shard", F.floor(F.col("tok_start") / t))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 1024,
+    text_col: str = "text",
+    num_range_parts: int = 32,
+) -> DataFrame:
+    """Pack the corpus token stream (doc_id order) into ``ctx_len``-token
+    training contexts.
+
+    Returns one row per context chunk: (chunk_id, n_docs, n_tokens,
+    first_doc, last_doc) — n_docs counts documents CONTRIBUTING tokens to
+    the chunk (a long document spans several chunks and counts in each),
+    n_tokens == ctx_len everywhere except the final partial chunk. All
+    columns are integers.
+
+    Scale shape: the global token offset is a two-phase prefix sum (see
+    module docstring) — the only empty-partition-spec window runs over
+    the per-partition totals (``num_range_parts`` rows), never the data.
+    The chunk assignment is a map-side explode of each doc's
+    [first_chunk, last_chunk] span followed by one hash aggregation on
+    chunk_id.
+    """
+    g = token_offsets(docs, text_col, num_range_parts)
     ctx = F.lit(int(ctx_len)).cast("long")
     # n_tok >= 1 always (a single-space split yields at least one token),
     # so cum-1 >= tok_start and the sequence never runs backwards

@@ -1130,3 +1130,19 @@ def test_incremental_near_dup_finds_cross_batch_only(spark):
     got = {(r["new_id"], r["old_id"])
            for r in incremental_near_dup(new, existing).collect()}
     assert got == {(10, 1), (11, 1)}  # 10/11 never pair with each other
+
+
+def test_shard_plan_fixed_token_budget(spark):
+    """Docs of 3 tokens each, budget 4: shard = tok_start div 4 ->
+    starts 0,3,6,9 -> shards 0,0,1,2; partition-count invariance pins
+    the two-phase prefix sum."""
+    from ideacrawler_spark.textops.packing import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(1, 5)], "doc_id long, text string")
+    for parts in (1, 3):
+        got = {r["shard"]: (r["n_docs"], r["n_tokens"],
+                            r["first_doc"], r["last_doc"])
+               for r in shard_plan(docs, shard_tokens=4,
+                                   num_range_parts=parts).collect()}
+        assert got == {0: (2, 6, 1, 2), 1: (1, 3, 3, 3), 2: (1, 3, 4, 4)}
