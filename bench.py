@@ -382,7 +382,8 @@ def main():
     for qname in ("minhash_lsh_pairs", "dedup_components", "pii_scrub",
                   "sequence_pack", "lm_surprisal", "duplicate_spans",
                   "bpe_token_count", "cms_registers", "token_postings",
-                  "anchor_corpus", "classifier_score"):
+                  "anchor_corpus", "classifier_score",
+                  "incremental_near_dup", "shard_plan"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0
