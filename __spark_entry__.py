@@ -1311,6 +1311,130 @@ def q_outlinks_resources(spark, sf_dir):
     return resources_table(pages)
 
 
+# Sitemap fixture: (sitemap_url, index?, entries) with HAND-WRITTEN
+# expected rows (kind, loc, canonical url, lastmod, changefreq,
+# priority_x10, same_host) so the oracle is independent of both the
+# parser and the normalizer. The third file is deliberately broken.
+_SITEMAP_ROBOTS = (
+    "http://smone.example/robots.txt",
+    "User-agent: *\nDisallow: /tmp\n"
+    "Sitemap: http://smone.example/sitemap.xml\n"
+    "sitemap:   http://cdn.example/alt.xml\n",
+)
+_SITEMAP_FILES = [
+    ("http://smone.example/sitemap.xml", False, [
+        # (loc-in-xml, lastmod, changefreq, priority) → expected below
+        ("http://smone.example/a.html", "2026-01-02", "daily", "0.8"),
+        ("HTTP://SMONE.example/C.html", None, None, None),
+        ("http://smone.example/p?q=a&b", None, "weekly", "0.5"),
+        ("http://other.example/x.html", "2026-03-04", None, None),
+    ]),
+    ("http://smtwo.example/sm_index.xml", True, [
+        ("http://smtwo.example/sitemaps/one.xml", "2026-02-03", None, None),
+        ("http://cdn.example/sitemaps/two.xml", None, None, None),
+    ]),
+]
+# expected (sitemap_url, kind, loc, url, lastmod, changefreq, prio_x10,
+# same_host) — literals, not derived by running engine code.
+_SITEMAP_EXPECT = [
+    ("http://smone.example/robots.txt", "robots",
+     "http://smone.example/sitemap.xml", "http://smone.example/sitemap.xml",
+     None, None, None, 1),
+    ("http://smone.example/robots.txt", "robots",
+     "http://cdn.example/alt.xml", "http://cdn.example/alt.xml",
+     None, None, None, 0),
+    ("http://smone.example/sitemap.xml", "urlset",
+     "http://smone.example/a.html", "http://smone.example/a.html",
+     "2026-01-02", "daily", 8, 1),
+    ("http://smone.example/sitemap.xml", "urlset",
+     "HTTP://SMONE.example/C.html", "http://smone.example/C.html",
+     None, None, None, 1),
+    ("http://smone.example/sitemap.xml", "urlset",
+     "http://smone.example/p?q=a&b", "http://smone.example/p?q=a&b",
+     None, "weekly", 5, 1),
+    ("http://smone.example/sitemap.xml", "urlset",
+     "http://other.example/x.html", "http://other.example/x.html",
+     "2026-03-04", None, None, 0),
+    ("http://smtwo.example/sm_index.xml", "index",
+     "http://smtwo.example/sitemaps/one.xml",
+     "http://smtwo.example/sitemaps/one.xml", "2026-02-03", None, None, 1),
+    ("http://smtwo.example/sm_index.xml", "index",
+     "http://cdn.example/sitemaps/two.xml",
+     "http://cdn.example/sitemaps/two.xml", None, None, None, 0),
+]
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap discovery + ingestion (sources/sitemap.py): robots.txt
+    ``Sitemap:`` directives plus urlset/index XML parsed through the
+    mapInPandas path, locs canonicalized by the engine normalizer, the
+    protocol's cross-host rule applied. The reference has no sitemap
+    surface (its robots parser drops Sitemap lines); this is the
+    Common-Crawl-frontier seed source. Oracle = hand-written literals
+    from the construction data."""
+    from ideacrawler_spark.sources.sitemap import (
+        build_sitemap,
+        robots_sitemaps_udf,
+        sitemap_to_entries,
+    )
+    from ideacrawler_spark.functions.urlnorm import host_of
+
+    file_rows = []
+    for smurl, is_index, entries in _SITEMAP_FILES:
+        dicts = [
+            {"loc": loc, "lastmod": lm, "changefreq": cf, "priority": pr}
+            for loc, lm, cf, pr in entries
+        ]
+        file_rows.append((smurl, bytearray(build_sitemap(dicts, index=is_index))))
+    file_rows.append(("http://bad.example/sitemap.xml", bytearray(b"not xml")))
+    files = spark.createDataFrame(file_rows, "url string, content binary")
+    parsed = sitemap_to_entries(files).select(
+        "sitemap_url", "kind", "loc", "url", "lastmod", "changefreq",
+        F.round(F.col("priority") * 10).cast("int").alias("prio_x10"),
+        F.col("same_host").cast("int").alias("same_host"),
+    )
+
+    robots = spark.createDataFrame([_SITEMAP_ROBOTS], "url string, body string")
+    host_udf = F.pandas_udf(
+        lambda s: s.map(host_of), "string"
+    )
+    discovered = (
+        robots.select(
+            F.col("url").alias("sitemap_url"),
+            F.explode(robots_sitemaps_udf()(F.col("body"))).alias("loc"),
+        )
+        .select(
+            "sitemap_url",
+            F.lit("robots").alias("kind"),
+            "loc",
+            F.col("loc").alias("url"),
+            F.lit(None).cast("string").alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("int").alias("prio_x10"),
+            (host_udf(F.col("loc")) == host_udf(F.col("sitemap_url")))
+            .cast("int").alias("same_host"),
+        )
+    )
+    return discovered.unionByName(parsed)
+
+
+def _sitemap_oracle_sql() -> str:
+    rows = []
+    for smurl, kind, loc, url, lm, cf, px, sh in _SITEMAP_EXPECT:
+        def q(v):
+            return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+        px_s = "NULL::INT" if px is None else f"{px}::INT"
+        rows.append(
+            f"({q(smurl)}, {q(kind)}, {q(loc)}, {q(url)}, "
+            f"{q(lm)}::VARCHAR, {q(cf)}::VARCHAR, {px_s}, {sh}::INT)"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(sitemap_url, kind, loc, url, lastmod, changefreq, "
+        "prio_x10, same_host)"
+    )
+
+
 def _resources_oracle_sql() -> str:
     from urllib.parse import urljoin
 
@@ -1451,6 +1575,186 @@ def _xpath_oracle_sql() -> str:
         rows.append(f"({vals})")
     return ("SELECT * FROM (VALUES " + ", ".join(rows)
             + ") AS t(url, title, foot, first_div_span, first_anchor)")
+
+
+# Directive fixture: (url, meta-name, meta-content, canonical-hrefs,
+# x-robots-tag, expected noindex, nofollow, canonical literal). The
+# expected canonical is HAND-WRITTEN (not derived by running the
+# normalizer), keeping the oracle independent of engine code.
+_DIRECTIVE_PAGES = [
+    ("http://d0.example/a.html", "robots", "noindex, nofollow", [], None,
+     1, 1, None),
+    ("http://d0.example/b.html", "robots", "NOINDEX", ["/canon/b"], None,
+     1, 0, "http://d0.example/canon/b"),
+    ("http://d1.example/c.html", "googlebot", "noindex",
+     ["HTTP://D1.example/Canon.html"], None,
+     0, 0, "http://d1.example/Canon.html"),
+    ("http://d1.example/d.html", None, None, [], "noindex",
+     1, 0, None),
+    ("http://d2.example/e.html", "ROBOTS", "none", [], None,
+     1, 1, None),
+    ("http://d2.example/f.html", "robots", " nofollow ",
+     ["first.html", "second.html"], None,
+     0, 1, "http://d2.example/first.html"),
+    ("http://d2.example/g.html", None, None, [], None,
+     0, 0, None),
+]
+
+
+def _directive_html(meta_name, meta_content, canonicals) -> bytes:
+    parts = ["<html><head><title>t</title>"]
+    if meta_name is not None:
+        parts.append(f'<meta name="{meta_name}" content="{meta_content}">')
+    for href in canonicals:
+        parts.append(f'<link rel="canonical" href="{href}">')
+    parts.append('</head><body><a href="/x.html">x</a></body></html>')
+    return "".join(parts).encode()
+
+
+def q_page_directives(spark, sf_dir):
+    """Page-level robots directives (functions/directives.py): meta
+    robots / X-Robots-Tag noindex+nofollow and first rel=canonical,
+    resolved+canonicalized into the seen-set keyspace — the
+    corpus-inclusion half of the robots contract the reference's
+    fetch-time-only enforcement leaves open. Oracle = hand-written
+    literals from the construction data."""
+    from ideacrawler_spark.functions.directives import directives_table
+
+    rows = [
+        (url, bytearray(_directive_html(mn, mc, canon)), xrt)
+        for url, mn, mc, canon, xrt, *_ in _DIRECTIVE_PAGES
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, x_robots_tag string"
+    )
+    return directives_table(pages, xrt_col="x_robots_tag").select(
+        "url",
+        F.col("noindex").cast("int").alias("noindex"),
+        F.col("nofollow").cast("int").alias("nofollow"),
+        "canonical_url",
+    )
+
+
+def _page_directives_oracle_sql() -> str:
+    rows = []
+    for url, _mn, _mc, _c, _x, ni, nf, canon in _DIRECTIVE_PAGES:
+        c = "NULL::VARCHAR" if canon is None else f"'{canon}'"
+        rows.append(f"('{url}', {ni}::INT, {nf}::INT, {c})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(url, noindex, nofollow, canonical_url)")
+
+
+def q_canonical_groups(spark, sf_dir):
+    """Canonical-cluster consolidation: indexable pages grouped by their
+    elected representative coalesce(canonical_url, url) — the
+    page-declared dedup pass that runs BEFORE content fingerprints.
+    Composes directives_table with a count/min aggregation (map-side
+    partial agg, one shuffle on the canonical key)."""
+    from ideacrawler_spark.functions.directives import directives_table
+
+    extra = [
+        ("http://g.example/p1.html", ["/master"], None),
+        ("http://g.example/p2.html", ["/master"], None),
+        ("http://g.example/p3.html", ["/master"], None),
+        ("http://g.example/master", [], None),
+        ("http://g.example/hidden.html", ["/master"], "noindex"),
+    ]
+    rows = [
+        (url, bytearray(_directive_html(None, None, canon)), xrt)
+        for url, canon, xrt in extra
+    ] + [
+        (url, bytearray(_directive_html(mn, mc, canon)), xrt)
+        for url, mn, mc, canon, xrt, *_ in _DIRECTIVE_PAGES
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, x_robots_tag string"
+    )
+    d = directives_table(pages, xrt_col="x_robots_tag")
+    return (
+        d.filter(~F.col("noindex"))
+        .groupBy(F.coalesce("canonical_url", "url").alias("canonical"))
+        .agg(F.count("*").cast("int").alias("n_pages"),
+             F.min("url").alias("representative"))
+    )
+
+
+def _canonical_groups_oracle_sql() -> str:
+    # expected clusters, hand-derived from the construction data above:
+    # indexable pages = p1,p2,p3,master (→ /master), plus the
+    # non-noindex _DIRECTIVE_PAGES rows grouped by their canonical.
+    expect = [
+        ("http://g.example/master", 4, "http://g.example/master"),
+        ("http://d1.example/Canon.html", 1, "http://d1.example/c.html"),
+        ("http://d2.example/first.html", 1, "http://d2.example/f.html"),
+        ("http://d2.example/g.html", 1, "http://d2.example/g.html"),
+    ]
+    rows = ", ".join(f"('{c}', {n}::INT, '{r}')" for c, n, r in expect)
+    return ("SELECT * FROM (VALUES " + rows
+            + ") AS t(canonical, n_pages, representative)")
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    doubling over (src → Location) edges — 4 joins resolve chains up to
+    16 hops; cycles and over-budget chains surface as looped=1. Edge set
+    = descending chains derived from documents doc_ids (terminals at
+    multiples of 10) + a 31-hop literal chain (past the 16 budget) + a
+    2-cycle. Oracle = recursive-CTE chase, an entirely different
+    algorithm landing on the same fixpoint."""
+    from ideacrawler_spark.operators.redirects import resolve_redirects
+
+    docs = _load(spark, sf_dir, "documents")
+    e1 = docs.filter((F.col("doc_id") % 10) != 0).select(
+        F.concat(F.lit("http://r.example/u"),
+                 F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("http://r.example/u"),
+                 (F.col("doc_id") - 1).cast("string")).alias("dst"),
+    )
+    e2 = spark.range(31).select(
+        F.concat(F.lit("http://r.example/c"),
+                 F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("http://r.example/c"),
+                 (F.col("id") + 1).cast("string")).alias("dst"),
+    )
+    e3 = spark.createDataFrame(
+        [("http://r.example/loopA", "http://r.example/loopB"),
+         ("http://r.example/loopB", "http://r.example/loopA")],
+        "src string, dst string",
+    )
+    out = resolve_redirects(e1.unionByName(e2).unionByName(e3), max_hops=16)
+    return out.select("src", "final_url", "hops",
+                      F.col("looped").cast("int").alias("looped"))
+
+
+_REDIRECTS_ORACLE = """
+    WITH RECURSIVE e AS (
+      SELECT 'http://r.example/u' || doc_id AS src,
+             'http://r.example/u' || (doc_id - 1) AS dst
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT 'http://r.example/c' || i, 'http://r.example/c' || (i + 1)
+      FROM range(0, 31) t(i)
+      UNION ALL
+      SELECT * FROM (VALUES
+        ('http://r.example/loopA', 'http://r.example/loopB'),
+        ('http://r.example/loopB', 'http://r.example/loopA')) v(s, d)
+    ),
+    e1 AS (SELECT src, min(dst) AS dst FROM e GROUP BY src),
+    chase(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e1
+      UNION ALL
+      SELECT c.src, n.dst, c.hops + 1
+      FROM chase c JOIN e1 n ON n.src = c.cur
+      WHERE c.hops < 16
+    ),
+    last AS (
+      SELECT src, cur, hops FROM chase
+      QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1
+    )
+    SELECT l.src, l.cur AS final_url, l.hops::INT AS hops,
+           (CASE WHEN o.src IS NULL THEN 0 ELSE 1 END)::INT AS looped
+    FROM last l LEFT JOIN e1 o ON o.src = l.cur
+"""
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1835,9 +2139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": q_crawl_flagship,
         "crawl_gated": q_crawl_gated,
         "warc_ingest": q_warc_ingest,
+        "sitemap_ingest": q_sitemap_ingest,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
         "dedup_components": q_dedup_components,
+        "resolve_redirects": q_resolve_redirects,
+        "page_directives": q_page_directives,
+        "canonical_groups": q_canonical_groups,
         "stratified_sample": q_stratified_sample,
         "repeated_lines": q_repeated_lines,
         "ngram_repetition": q_ngram_repetition,
@@ -2482,6 +2790,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "crawl_flagship": _flagship_oracle_sql(),
         "crawl_gated": _gated_oracle_sql(),
         "warc_ingest": _warc_oracle_sql(),
+        "sitemap_ingest": _sitemap_oracle_sql(),
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),
         "xpath_extract": _xpath_oracle_sql(),
@@ -2489,6 +2798,9 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         # an entirely different algorithm (recursive SQL reachability)
         # than the engine's min-label propagation loop, landing on the
         # same (doc_id, min reachable id) fixpoint.
+        "resolve_redirects": _REDIRECTS_ORACLE,
+        "page_directives": _page_directives_oracle_sql(),
+        "canonical_groups": _canonical_groups_oracle_sql(),
         "dedup_components": f"""
             WITH RECURSIVE {_SHINGLES_SQL}, {_PERMS_SQL},
             mh AS (
