@@ -1840,6 +1840,107 @@ def q_repeated_lines(spark, sf_dir):
     return remove_repeated_lines(chunked, max_occurrences=1)
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 heuristic cleaning (textops/c4.py): terminal-punctuation /
+    min-words / 'javascript' line rules + lorem-ipsum / brace / min-kept
+    document rules over deterministic 5-word lines rebuilt from the
+    documents text, with rule-triggering lines injected at doc_id
+    multiples of 97/101/103 so every rule fires in the oracle data.
+    Zero-UDF, zero-shuffle map pass."""
+    from ideacrawler_spark.textops.c4 import c4_document_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(w) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(w, i * 5 + 1, 5)),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 3 == 1, F.lit("!"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    t = F.array_join(chunks, "\n")
+    t = F.when(F.col("doc_id") % 97 == 0,
+               F.concat(t, F.lit("\nsee the javascript code now."))
+               ).otherwise(t)
+    t = F.when(F.col("doc_id") % 101 == 0,
+               F.concat(t, F.lit("\nlorem ipsum dolor sit amet here."))
+               ).otherwise(t)
+    t = F.when(F.col("doc_id") % 103 == 0,
+               F.concat(t, F.lit("\nvar x = { a closing line."))
+               ).otherwise(t)
+    return c4_document_filter(docs.select("doc_id", t.alias("text")))
+
+
+_C4_ORACLE = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    built AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+          i -> array_to_string(w[(i*5+1):(i*5+5)], ' ') ||
+               CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                    ELSE '' END), chr(10))
+        || CASE WHEN doc_id % 97 = 0
+                THEN chr(10) || 'see the javascript code now.' ELSE '' END
+        || CASE WHEN doc_id % 101 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet here.'
+                ELSE '' END
+        || CASE WHEN doc_id % 103 = 0
+                THEN chr(10) || 'var x = { a closing line.' ELSE '' END
+        AS text
+      FROM w),
+    ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+           FROM built),
+    k AS (SELECT doc_id, text, ls,
+            list_filter(ls, l ->
+              regexp_matches(trim(l), '[.!?"]$')
+              AND len(regexp_split_to_array(trim(l), ' +')) >= 5
+              AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+          FROM ls)
+    SELECT doc_id, len(ls)::INT AS n_lines, len(kept)::INT AS n_kept,
+           (CASE WHEN len(kept) >= 3
+                 AND NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, '{')
+                 THEN 1 ELSE 0 END)::INT AS keep_doc,
+           md5(array_to_string(list_transform(kept, l -> trim(l)),
+                               chr(10))) AS kept_md5
+    FROM k
+"""
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (textops/mirrors.py): host pairs sharing
+    ≥3 content fingerprints, pair generation bucket-capped at 8 hosts
+    per fingerprint and expanded array-side (no self-join shuffle).
+    Fingerprints = doc_id mod 137 over the documents sources. The
+    oracle reaches the same pairs by an equi-join on the capped
+    exploded table — a different algorithm."""
+    from ideacrawler_spark.textops.mirrors import mirror_host_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 137).alias("content_key"),
+    )
+    return mirror_host_pairs(rows, host_cap=8, min_shared=3)
+
+
+_MIRRORS_ORACLE = """
+    WITH r AS (SELECT DISTINCT source AS h, doc_id % 137 AS k
+               FROM documents),
+    hk AS (SELECT k, list_sort(list(DISTINCT h))[1:8] AS hs
+           FROM r GROUP BY k),
+    hkx AS (SELECT k, unnest(hs) AS h FROM hk WHERE len(hs) >= 2),
+    pairs AS (SELECT a.h AS host_a, b.h AS host_b
+              FROM hkx a JOIN hkx b ON a.k = b.k AND a.h < b.h)
+    SELECT host_a, host_b, count(*)::INT AS n_shared
+    FROM pairs GROUP BY host_a, host_b HAVING count(*) >= 3
+"""
+
+
 def q_ngram_repetition(spark, sf_dir):
     from ideacrawler_spark.textops.analysis import ngram_repetition
 
@@ -2148,6 +2249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_groups": q_canonical_groups,
         "stratified_sample": q_stratified_sample,
         "repeated_lines": q_repeated_lines,
+        "c4_filter": q_c4_filter,
+        "mirror_hosts": q_mirror_hosts,
         "ngram_repetition": q_ngram_repetition,
         "pii_scrub": q_pii_scrub,
         "url_quality": q_url_quality,
@@ -2860,6 +2963,8 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
         """,
+        "c4_filter": _C4_ORACLE,
+        "mirror_hosts": _MIRRORS_ORACLE,
         "duplicate_spans": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),
