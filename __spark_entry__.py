@@ -710,6 +710,39 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+def _semdedup_input(spark, sf_dir):
+    """embeddings (cast to array<double>) plus three deterministic plant
+    families for every vec_id % 7 == 0: an exact copy (+1000, cos=1), a
+    0.9-scaled copy (+2000, cos=1, different norm), and a negated copy
+    (+3000, cos=-1, must be KEPT). Pure double arithmetic on both engines
+    so the oracle reproduces the input bit-for-bit."""
+    base = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    sel = base.filter(F.col("vec_id") % 7 == 0)
+    plants = (
+        sel.select((F.col("vec_id") + 1000).alias("vec_id"), "e")
+        .unionAll(sel.select(
+            (F.col("vec_id") + 2000).alias("vec_id"),
+            F.transform(F.col("e"), lambda x: x * F.lit(0.9)).alias("e")))
+        .unionAll(sel.select(
+            (F.col("vec_id") + 3000).alias("vec_id"),
+            F.transform(F.col("e"), lambda x: -x).alias("e")))
+    )
+    return base.unionAll(plants).select("vec_id", F.col("e").alias("embedding"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-then-cosine semantic dedup
+    at tau=0.8 over the embeddings table with planted exact/scaled/negated
+    duplicates. Exact integer fixed-point throughout, so kept/dup_of are
+    oracle-verifiable values, not just counts."""
+    from ideacrawler_spark.textops.similarity import semdedup
+
+    return semdedup(_semdedup_input(spark, sf_dir))
+
+
 def q_pq_train(spark, sf_dir):
     """Product-quantization codebook training (the IVF-PQ second stage —
     Jégou et al. TPAMI 2011): per-subspace Lloyd with truncating integer
@@ -2194,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
+        "semdedup": q_semdedup,
         "pq_train": q_pq_train,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
@@ -2353,6 +2387,58 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT query_id, count(*)::INT AS k
               FROM exact GROUP BY query_id) q
         LEFT JOIN hits h USING (query_id)
+    """
+    # SemDeDup: mirror of textops/similarity.py::semdedup over the planted
+    # input (_semdedup_input) — integer fixed-point at SEMQ=1000 and the
+    # division-free cosine test d>0 AND d^2*25 >= 16*n2*rn2 (tau=4/5).
+    d["semdedup"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        allv AS (
+          SELECT vec_id, e FROM base
+          UNION ALL
+          SELECT vec_id + 1000, e FROM base WHERE vec_id % 7 = 0
+          UNION ALL
+          SELECT vec_id + 2000, list_transform(e, x -> x * 0.9)
+          FROM base WHERE vec_id % 7 = 0
+          UNION ALL
+          SELECT vec_id + 3000, list_transform(e, x -> -x)
+          FROM base WHERE vec_id % 7 = 0),
+        q AS (
+          SELECT vec_id,
+                 list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+          FROM allv),
+        cents AS (SELECT vec_id AS cell, q AS cq FROM q WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, q, cell,
+                 (list_sum(list_transform(range(1, len(q) + 1),
+                                          i -> q[i] * q[i])))::BIGINT AS n2
+          FROM (
+            SELECT e.vec_id, e.q, c.cell,
+                   list_sum(list_transform(range(1, len(e.q) + 1),
+                            i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS dd
+            FROM q e CROSS JOIN cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) = 1),
+        reps AS (
+          SELECT cell, vec_id AS rep_id, q AS rq, n2 AS rn2
+          FROM asg
+          QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= 128),
+        pairs AS (
+          SELECT a.vec_id, r.rep_id, a.n2, r.rn2,
+                 (list_sum(list_transform(range(1, len(a.q) + 1),
+                                          i -> a.q[i] * r.rq[i])))::BIGINT AS d
+          FROM asg a JOIN reps r
+            ON a.cell = r.cell AND r.rep_id < a.vec_id),
+        dup AS (
+          SELECT vec_id, min(rep_id) AS dup_of
+          FROM pairs
+          WHERE d > 0 AND d * d * 25 >= 16 * n2 * rn2
+          GROUP BY vec_id)
+        SELECT a.vec_id, a.cell,
+               (CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END)::INT AS kept,
+               coalesce(dup.dup_of, -1)::BIGINT AS dup_of
+        FROM asg a LEFT JOIN dup USING (vec_id)
     """
     return d
 

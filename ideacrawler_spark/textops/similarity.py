@@ -543,3 +543,90 @@ def l2_topk_bruteforce(embeddings: DataFrame, n_queries: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "d2_q")
     )
+
+
+# --- SemDeDup: semantic deduplication over embedding clusters ------------
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) removes *semantic*
+# duplicates the lexical passes (minhash/simhash) cannot see: cluster the
+# embedding space, then inside each cluster drop every vector whose cosine
+# similarity to an earlier (lower-id) member exceeds a threshold. The
+# reference engine has no such operator (its dedup is the URL-seen set,
+# fetcher.go); this is part of the training-data-pipeline surface layered
+# on top of the crawl.
+#
+# All math is exact integer fixed-point so the DuckDB oracle verifies
+# values: vectors quantize at SEMQ=1000 (coarser than the ANN ops' 10000)
+# which keeps dot^2 * tau_den^2 and |u|^2*|v|^2 * tau_num^2 inside int64
+# for dim<=64 and |x|<=2.0 (|q_i|<=2000 -> dot<=2.56e8 -> dot^2*25<=1.7e18
+# < 2^63). The cosine test cos(u,v) >= tau runs division-free:
+#     dot > 0  AND  dot^2 * tau_den^2 >= tau_num^2 * |u|^2 * |v|^2.
+
+SEMQ = 1000
+
+
+def quantized_sem(col):
+    """array<float> -> array<long> at the SemDeDup fixed-point scale."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * SEMQ).cast("long"))
+
+
+def semdedup(embeddings: DataFrame, n_cells: int = 8, tau_num: int = 4,
+             tau_den: int = 5, cell_cap: int = 128) -> DataFrame:
+    """(vec_id, cell, kept, dup_of): SemDeDup keep/drop decision per vector.
+
+    Clustering: nearest of the first ``n_cells`` vectors by quantized
+    squared-L2 (same deterministic coarse quantizer as ivf_assign, at the
+    SemDeDup scale). Dedup rule: a vector is DROPPED iff some lower-id
+    vector among its cell's first ``cell_cap`` members (by vec_id) passes
+    the integer cosine test at tau = tau_num/tau_den; ``dup_of`` is the
+    smallest such id, -1 for kept rows.
+
+    Scale shape: centroids broadcast -> shuffle-free argmin map stage;
+    the dedup join is (cell)-keyed with the rep side capped at
+    ``cell_cap`` rows per cell, so the pair count is bounded by
+    |V| * cell_cap, never C(N,2) — the same cap discipline as
+    near_dup_pairs_banded. At production scale n_cells is large (paper
+    uses ~100k clusters for LAION), cells are small, and the cap is the
+    skew guard for degenerate clusters."""
+    emb = embeddings.select("vec_id", quantized_sem(F.col("embedding")).alias("q"))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", dist_q(F.col("q"), F.col("cq")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cell"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "cell", "q",
+                dot_q(F.col("q"), F.col("q")).alias("n2"))
+    )
+    wc = Window.partitionBy("cell").orderBy("vec_id")
+    reps = (
+        assigned.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= cell_cap)
+        .select("cell", F.col("vec_id").alias("rep_id"),
+                F.col("q").alias("rq"), F.col("n2").alias("rn2"))
+    )
+    pairs = assigned.join(reps, "cell").filter(F.col("rep_id") < F.col("vec_id"))
+    d = dot_q(F.col("q"), F.col("rq"))
+    dup = (
+        pairs.withColumn("_d", d)
+        .filter(
+            (F.col("_d") > 0)
+            & (F.col("_d") * F.col("_d") * F.lit(tau_den * tau_den)
+               >= F.lit(tau_num * tau_num) * F.col("n2") * F.col("rn2"))
+        )
+        .groupBy("vec_id")
+        .agg(F.min("rep_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int").alias("kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
