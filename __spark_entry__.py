@@ -743,6 +743,15 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_semdedup_input(spark, sf_dir))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023): hashed-unigram
+    bucket distributions for raw corpus vs the lang='en' target slice,
+    integer ratio weights, per-doc scores, top-100 selected."""
+    from ideacrawler_spark.textops.dsir import dsir_select
+
+    return dsir_select(_load(spark, sf_dir, "documents"))
+
+
 def q_pq_train(spark, sf_dir):
     """Product-quantization codebook training (the IVF-PQ second stage —
     Jégou et al. TPAMI 2011): per-subspace Lloyd with truncating integer
@@ -2228,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
         "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "pq_train": q_pq_train,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
@@ -2439,6 +2449,29 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END)::INT AS kept,
                coalesce(dup.dup_of, -1)::BIGINT AS dup_of
         FROM asg a LEFT JOIN dup USING (vec_id)
+    """
+    # DSIR importance resampling: mirror of textops/dsir.py::dsir_select
+    # (hashed unigram buckets, add-one-smoothed integer ratio weights,
+    # per-doc occurrence-weight sums, top-100 by (score desc, doc_id)).
+    d["dsir_select"] = f"""
+        WITH words AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang, ({_h60_sql('w')} % 4096) AS b FROM words),
+        raw AS (SELECT b, count(*) AS r FROM b GROUP BY b),
+        tgt AS (SELECT b, count(*) AS t FROM b WHERE lang = 'en' GROUP BY b),
+        wt AS (
+          SELECT raw.b,
+                 (1000000 * (coalesce(t, 0) + 1)) // (r + 1) AS wb
+          FROM raw LEFT JOIN tgt USING (b)),
+        sc AS (
+          SELECT doc_id, (sum(wb))::BIGINT AS score
+          FROM b JOIN wt USING (b) GROUP BY doc_id)
+        SELECT doc_id, score,
+               (CASE WHEN row_number() OVER (ORDER BY score DESC, doc_id)
+                          <= 100 THEN 1 ELSE 0 END)::INT AS selected
+        FROM sc
     """
     return d
 

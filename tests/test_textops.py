@@ -1146,3 +1146,25 @@ def test_shard_plan_fixed_token_budget(spark):
                for r in shard_plan(docs, shard_tokens=4,
                                    num_range_parts=parts).collect()}
         assert got == {0: (2, 6, 1, 2), 1: (1, 3, 3, 3), 2: (1, 3, 4, 4)}
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+def test_dsir_select_favors_target_distribution(spark):
+    from ideacrawler_spark.textops.dsir import dsir_select
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s0", 16),
+        (1, "alpha beta gamma", "en", "s0", 16),
+        (2, "delta epsilon zeta", "de", "s0", 18),
+        (3, "alpha beta gamma", "de", "s0", 16),   # looks like the target
+        (4, "delta epsilon zeta", "de", "s0", 18),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in dsir_select(docs, n_keep=3).collect()}
+    # docs made of target-corpus words outscore the off-target ones,
+    # regardless of their own lang tag
+    assert out[3]["score"] == out[0]["score"] == out[1]["score"]
+    assert out[3]["score"] > out[2]["score"]
+    assert [out[i]["selected"] for i in range(5)] == [1, 1, 0, 1, 0]
