@@ -743,6 +743,37 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_semdedup_input(spark, sf_dir))
 
 
+def q_cdx_lookup(spark, sf_dir):
+    """Common-Crawl CDXJ index round-trip (sources/cdx.py): deterministic
+    captures derived from the documents table -> SURT keys + CDXJ lines
+    (pure codegen) -> the real Arrow-batched line parser -> a prefix
+    lookup. The oracle re-derives every field, including the SURT
+    transform (host-reversal, www-strip, :80 drop, query-param sort,
+    path lowercasing), from the same construction in SQL."""
+    from ideacrawler_spark.sources.cdx import cdx_lookup, cdxj_lines, parse_cdxj
+
+    d = F.col("doc_id")
+    docs = _load(spark, sf_dir, "documents")
+    captures = docs.select(
+        F.concat(
+            F.lit("http://"),
+            F.when(d % 4 == 0, F.lit("www.")).when(d % 4 == 1, F.lit("CDN."))
+            .otherwise(F.lit("")),
+            F.col("source"), F.lit(".Example.org"),
+            F.when(d % 5 == 0, F.lit(":8080")).when(d % 5 == 1, F.lit(":80"))
+            .otherwise(F.lit("")),
+            F.lit("/Docs/"), d.cast("string"), F.lit("/page.html"),
+            F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        ).alias("url"),
+        (F.lit(20240000000000) + d).cast("long").alias("ts"),
+        F.when(d % 10 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.lit("text/html").alias("mime"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.col("n_chars").cast("long").alias("length"),
+    )
+    return cdx_lookup(parse_cdxj(cdxj_lines(captures)), "org,example,src1")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR-style importance resampling (Xie et al. 2023): hashed-unigram
     bucket distributions for raw corpus vs the lang='en' target slice,
@@ -2238,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "cdx_lookup": q_cdx_lookup,
         "pq_train": q_pq_train,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
@@ -2472,6 +2504,61 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN row_number() OVER (ORDER BY score DESC, doc_id)
                           <= 100 THEN 1 ELSE 0 END)::INT AS selected
         FROM sc
+    """
+    # CDXJ index lookup: mirror of sources/cdx.py — the capture
+    # construction AND the SURT transform re-derived in SQL, so a parser
+    # or surt bug cannot self-certify.
+    d["cdx_lookup"] = """
+        WITH caps AS (
+          SELECT 'http://'
+                 || (CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                          WHEN doc_id % 4 = 1 THEN 'CDN.' ELSE '' END)
+                 || source || '.Example.org'
+                 || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+                          WHEN doc_id % 5 = 1 THEN ':80' ELSE '' END)
+                 || '/Docs/' || doc_id || '/page.html'
+                 || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END)
+                   AS url,
+                 (20240000000000 + doc_id)::BIGINT AS ts,
+                 (CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END)::INT
+                   AS status,
+                 'text/html' AS mime,
+                 md5(text) AS digest,
+                 n_chars::BIGINT AS length
+          FROM documents),
+        parts AS (
+          SELECT *, split_part(url, '://', 2) AS rem,
+                 split_part(split_part(url, '://', 2), '/', 1) AS hostport
+          FROM caps),
+        comp AS (
+          SELECT *,
+                 substr(rem, length(hostport) + 1) AS rest,
+                 (CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
+                                        'www.')
+                       THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                       ELSE lower(split_part(hostport, ':', 1)) END) AS host,
+                 (CASE WHEN contains(hostport, ':')
+                       THEN (CASE WHEN split_part(hostport, ':', 2) = '80'
+                                  THEN '' ELSE split_part(hostport, ':', 2)
+                             END)
+                       ELSE '' END) AS port
+          FROM parts),
+        surted AS (
+          SELECT *,
+                 array_to_string(list_reverse(string_split(host, '.')), ',')
+                 || (CASE WHEN port = '' THEN '' ELSE ':' || port END)
+                 || ')'
+                 || (CASE WHEN lower(split_part(rest, '?', 1)) = '' THEN '/'
+                          ELSE lower(split_part(rest, '?', 1)) END)
+                 || (CASE WHEN contains(rest, '?')
+                          THEN '?' || array_to_string(
+                                 list_sort(string_split(
+                                   split_part(rest, '?', 2), '&')), '&')
+                          ELSE '' END) AS surt
+          FROM comp)
+        SELECT surt, ts, url, status, mime, digest, length
+        FROM surted
+        WHERE starts_with(surt, 'org,example,src1')
     """
     return d
 
