@@ -1346,6 +1346,37 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC WRITE path (sources/warc.py::pages_to_warc_shards): the
+    fixture pages distributed over executors, sharded by xxhash64(url),
+    serialized per-shard via applyInPandas, then re-ingested through the
+    independent read path. The oracle is the same input-derived row set
+    as warc_ingest — a writer bug (lost/duplicated/corrupted record in
+    any shard) breaks the match."""
+    from ideacrawler_spark.sources.fixtures import synth_web
+    from ideacrawler_spark.sources.warc import (
+        pages_to_warc_shards,
+        warc_to_pages,
+    )
+
+    pages, _, _, _ = synth_web(seed=42, scale=1)
+    pdf = spark.createDataFrame(
+        [
+            (p["url"], p["warc_ts"], bytearray(p["html"]), p["status"],
+             p["content_type"])
+            for p in pages
+        ],
+        "url string, warc_ts timestamp, html binary, status int, "
+        "content_type string",
+    ).repartition(8)
+    shards = pages_to_warc_shards(pdf, n_shards=4)
+    return warc_to_pages(shards).select(
+        "url", "status", "content_type",
+        F.length(F.col("html")).cast("int").alias("n_html"),
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 # Deterministic resource-tag pages for the S6 oracle: (url, assets) where
 # assets are (kind, path) pairs rendered into HTML by q_outlinks_resources
 # and re-derived as expected rows by the oracle WITHOUT running the
@@ -2316,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": q_crawl_flagship,
         "crawl_gated": q_crawl_gated,
         "warc_ingest": q_warc_ingest,
+        "warc_roundtrip": q_warc_roundtrip,
         "sitemap_ingest": q_sitemap_ingest,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
@@ -3099,6 +3131,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "crawl_flagship": _flagship_oracle_sql(),
         "crawl_gated": _gated_oracle_sql(),
         "warc_ingest": _warc_oracle_sql(),
+        "warc_roundtrip": _warc_oracle_sql(),
         "sitemap_ingest": _sitemap_oracle_sql(),
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),

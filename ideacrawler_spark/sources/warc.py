@@ -188,3 +188,44 @@ def build_warc(pages: List[dict]) -> bytes:
             + b"\r\n" + http + b"\r\n\r\n"
         )
     return b"".join(chunks)
+
+
+def pages_to_warc_shards(pages: DataFrame, n_shards: int = 4) -> DataFrame:
+    """The WARC WRITE path: pages table -> (path, content binary) shard
+    rows, the inverse of ``warc_to_pages``. Records are sharded by
+    xxhash64(url) and serialized per shard with the same record layout
+    ``build_warc`` emits (request records interleaved, CC style), sorted
+    by url within the shard so shard bytes are deterministic for a given
+    membership.
+
+    Scale shape: one hash shuffle on the shard key, then applyInPandas
+    serializes each shard independently — shard count is the write
+    parallelism knob exactly like CC's 1GB-target WARC segmenting. A real
+    deployment writes each row's ``content`` straight to object storage
+    (foreachPartition sink); returning the bytes as a column keeps the
+    sandbox testable."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    def emit(key, pdf):
+        pdf = pdf.sort_values("url")
+        recs = []
+        for r in pdf.itertuples(index=False):
+            recs.append(dict(
+                url=r.url,
+                warc_ts=None if _pd.isnull(r.warc_ts) else r.warc_ts,
+                html=bytes(r.html),
+                status=int(r.status),
+                content_type=r.content_type,
+            ))
+        return _pd.DataFrame(
+            [{"path": "part-%05d.warc" % int(key[0]),
+              "content": build_warc(recs)}]
+        )
+
+    keyed = pages.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards))
+    )
+    return keyed.groupBy("_shard").applyInPandas(
+        emit, "path string, content binary"
+    )

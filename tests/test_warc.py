@@ -93,3 +93,34 @@ def test_crawl_from_warc_matches_refsim(spark, web):
     texts = {r["url"]: r["text"] for r in got["shipped"].collect()}
     want_texts = {s["url"]: s["text"] for s in golden.shipped}
     assert texts == want_texts  # byte-identical text through the archive
+
+
+def test_pages_to_warc_shards_roundtrip_and_determinism(spark):
+    from ideacrawler_spark.sources.fixtures import synth_web
+    from ideacrawler_spark.sources.warc import (
+        pages_to_warc_shards,
+        warc_to_pages,
+    )
+
+    pages, _, _, _ = synth_web(seed=7, scale=1)
+    df = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], bytearray(p["html"]), p["status"],
+          p["content_type"]) for p in pages],
+        "url string, warc_ts timestamp, html binary, status int, "
+        "content_type string",
+    )
+    shards = pages_to_warc_shards(df.repartition(5), n_shards=3)
+    rows = shards.collect()
+    assert sorted(r["path"] for r in rows) == [
+        "part-%05d.warc" % i for i in range(len(rows))]
+    back = warc_to_pages(shards).collect()
+    got = {(r["url"], r["status"], bytes(r["html"])) for r in back}
+    want = {(p["url"], p["status"], p["html"]) for p in pages}
+    assert got == want
+    # byte-determinism: same membership -> same shard bytes, regardless
+    # of input partitioning
+    again = {r["path"]: bytes(r["content"])
+             for r in pages_to_warc_shards(df.repartition(2),
+                                           n_shards=3).collect()}
+    first = {r["path"]: bytes(r["content"]) for r in rows}
+    assert again == first
