@@ -280,7 +280,7 @@ def main():
               "hll_registers", "mixture_weights", "bpe_train",
               "surprisal_buckets", "per_source_cap", "host_pagerank",
               "term_retrieval", "frontier_prioritized",
-              "recrawl_schedule", "pipeline_v3"):
+              "recrawl_schedule", "pipeline_v3", "semdedup", "cdx_lookup"):
         atts = []
         for _ in range(micro_n):
             load0 = os.getloadavg()[0]
@@ -383,7 +383,7 @@ def main():
                   "sequence_pack", "lm_surprisal", "duplicate_spans",
                   "bpe_token_count", "cms_registers", "token_postings",
                   "anchor_corpus", "classifier_score",
-                  "incremental_near_dup", "shard_plan"):
+                  "incremental_near_dup", "shard_plan", "dsir_select"):
         t0 = time.monotonic()
         run_noop_at(qname, small_dir)
         t_small = time.monotonic() - t0
