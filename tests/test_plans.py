@@ -146,3 +146,49 @@ def test_pack_sequences_no_global_window_over_data(spark):
         r"\], \[pid#\d+\]", plan), plan
     # the offsets side (the only unpartitioned window) feeds a broadcast
     assert "BroadcastExchange" in plan
+
+
+def test_semdedup_broadcasts_centroids_and_reps_join_on_cell(spark):
+    """SemDeDup's plan shape: centroid assignment is a broadcast
+    (nested-loop) join — never a shuffled cross join — and the dedup
+    pair join is a hash join keyed on cell (the bounded-pair scale
+    path)."""
+    from ideacrawler_spark.textops.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semdedup(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the rep-vs-member pair join carries the cell key through a hash join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_dsir_weight_dim_joins_broadcast(spark):
+    """DSIR's 4096-row bucket-weight table must reach the token stream
+    via BroadcastHashJoin (a shuffle join over the exploded words would
+    re-shuffle the corpus-sized side)."""
+    from ideacrawler_spark.textops.dsir import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dsir_select(docs))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_surt_transform_is_jvm_side(spark):
+    """The SURT key derivation is a single JVM-side Project over the
+    scan — no Python evaluation nodes (BatchEvalPython/ArrowEvalPython/
+    MapInPandas) and no shuffle. (The array_sort/reverse lambdas keep
+    the Project out of WholeStageCodegen, but it is still columnar JVM
+    expression evaluation, not a Python boundary.)"""
+    from ideacrawler_spark.sources.cdx import surt_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.select(surt_col(
+        F.concat(F.lit("http://h"), F.col("doc_id").cast("string"),
+                 F.lit(".example.org/p"))).alias("surt"))
+    plan = _plan(q)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "Exchange"):
+        assert bad not in plan
+    assert "Scan parquet" in plan
