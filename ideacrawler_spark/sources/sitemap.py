@@ -95,6 +95,19 @@ def parse_sitemap(xml: bytes) -> Tuple[str, List[dict]]:
     """
     if not xml or len(xml) > MAX_SITEMAP_BYTES:
         return "invalid", []
+    if xml[:2] == b"\x1f\x8b":
+        # gzipped sitemap (sitemaps.org allows .xml.gz; CC serves them
+        # routinely). Bounded inflate — same zlib-bomb discipline as the
+        # PNG decoder: never materialize more than MAX_SITEMAP_BYTES+1.
+        import zlib
+
+        try:
+            d = zlib.decompressobj(wbits=31)
+            xml = d.decompress(xml, MAX_SITEMAP_BYTES + 1)
+        except zlib.error:
+            return "invalid", []
+        if len(xml) > MAX_SITEMAP_BYTES or d.unconsumed_tail:
+            return "invalid", []
     if _INDEX_ROOT.search(xml):
         out = []
         for m in _SM_BLOCK.finditer(xml):

@@ -98,3 +98,27 @@ def test_sitemap_to_entries_cross_host_and_canon(spark):
     other = rows["http://other.example/x"]
     assert other["same_host"] is False
     assert other["kind"] == "urlset"
+
+
+def test_parse_sitemap_gzipped_and_bomb_guard():
+    import gzip as _gzip
+
+    from ideacrawler_spark.sources.sitemap import (
+        MAX_SITEMAP_BYTES,
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    xml = build_sitemap([{"loc": "http://h.example/a", "lastmod": "2024-01-01"}])
+    kind, entries = parse_sitemap(_gzip.compress(xml))
+    assert kind == "urlset"
+    assert [e["loc"] for e in entries] == ["http://h.example/a"]
+
+    # a tiny gzip member inflating past the cap must be rejected, not
+    # materialized (zlib-bomb discipline)
+    bomb = _gzip.compress(b"<urlset>" + b" " * (MAX_SITEMAP_BYTES + 100))
+    assert len(bomb) < MAX_SITEMAP_BYTES          # small on the wire
+    assert parse_sitemap(bomb) == ("invalid", [])
+
+    # truncated gzip -> invalid, no raise
+    assert parse_sitemap(_gzip.compress(xml)[:10]) == ("invalid", [])
