@@ -743,6 +743,37 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_semdedup_input(spark, sf_dir))
 
 
+def q_revalidate(spark, sf_dir):
+    """Conditional-GET revalidation merge (operators/recrawl.py): a
+    deterministic store (docs % 5 != 4) merged with a revalidation
+    batch (docs % 3 != 2; statuses 304/404/500/200 by doc_id % 7).
+    Exercises every action arm: insert/refresh/replace/drop/keep/ignore."""
+    from ideacrawler_spark.operators.recrawl import revalidate_merge
+
+    d = F.col("doc_id")
+    docs = _load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://h"), (d % 20).cast("string"),
+                   F.lit(".example/p"), d.cast("string"))
+    store = docs.filter(d % 5 != 4).select(
+        url.alias("url"),
+        (d + 1000).cast("long").alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.concat(F.lit("e"), d.cast("string")).alias("etag"),
+        ((d * 7) % 1000).cast("long").alias("fp"),
+        F.substring(F.col("text"), 1, 20).alias("text"),
+    )
+    fetched = docs.filter(d % 3 != 2).select(
+        url.alias("url"),
+        (d + 2000).cast("long").alias("fetch_ts"),
+        F.when(d % 7 == 0, F.lit(304)).when(d % 7 == 1, F.lit(404))
+        .when(d % 7 == 2, F.lit(500)).otherwise(F.lit(200)).alias("status"),
+        F.concat(F.lit("n"), d.cast("string")).alias("etag"),
+        ((d * 11) % 1000).cast("long").alias("fp"),
+        F.concat(F.lit("N:"), F.substring(F.col("text"), 1, 20)).alias("text"),
+    )
+    return revalidate_merge(store, fetched)
+
+
 def q_cdx_lookup(spark, sf_dir):
     """Common-Crawl CDXJ index round-trip (sources/cdx.py): deterministic
     captures derived from the documents table -> SURT keys + CDXJ lines
@@ -2301,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "cdx_lookup": q_cdx_lookup,
+        "revalidate": q_revalidate,
         "pq_train": q_pq_train,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
@@ -2536,6 +2568,57 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN row_number() OVER (ORDER BY score DESC, doc_id)
                           <= 100 THEN 1 ELSE 0 END)::INT AS selected
         FROM sc
+    """
+    # Conditional-GET revalidation merge: mirror of
+    # operators/recrawl.py::revalidate_merge over the deterministic
+    # store/fetched construction in q_revalidate.
+    d["revalidate"] = """
+        WITH store AS (
+          SELECT 'http://h' || (doc_id % 20) || '.example/p' || doc_id AS url,
+                 (doc_id + 1000)::BIGINT AS fetch_ts, 200 AS status,
+                 'e' || doc_id AS etag,
+                 ((doc_id * 7) % 1000)::BIGINT AS fp,
+                 substr(text, 1, 20) AS text
+          FROM documents WHERE doc_id % 5 != 4),
+        fetched AS (
+          SELECT 'http://h' || (doc_id % 20) || '.example/p' || doc_id AS url,
+                 (doc_id + 2000)::BIGINT AS fetch_ts,
+                 (CASE WHEN doc_id % 7 = 0 THEN 304
+                       WHEN doc_id % 7 = 1 THEN 404
+                       WHEN doc_id % 7 = 2 THEN 500 ELSE 200 END) AS status,
+                 'n' || doc_id AS etag,
+                 ((doc_id * 11) % 1000)::BIGINT AS fp,
+                 'N:' || substr(text, 1, 20) AS text
+          FROM documents WHERE doc_id % 3 != 2),
+        j AS (
+          SELECT coalesce(s.url, f.url) AS url,
+                 s.fetch_ts AS s_ts, s.status AS s_st, s.etag AS s_et,
+                 s.fp AS s_fp, s.text AS s_tx,
+                 f.fetch_ts AS f_ts, f.status AS f_st, f.etag AS f_et,
+                 f.fp AS f_fp, f.text AS f_tx
+          FROM store s FULL OUTER JOIN fetched f ON s.url = f.url),
+        act AS (
+          SELECT *,
+                 (CASE WHEN s_ts IS NULL AND f_st = 200 THEN 'insert'
+                       WHEN s_ts IS NULL THEN 'ignore'
+                       WHEN f_ts IS NULL THEN 'keep'
+                       WHEN f_st = 304 THEN 'refresh'
+                       WHEN f_st = 200 THEN 'replace'
+                       WHEN f_st IN (404, 410) THEN 'drop'
+                       ELSE 'keep' END) AS action
+          FROM j)
+        SELECT url, action,
+               (CASE WHEN action IN ('insert', 'replace', 'refresh')
+                     THEN f_ts ELSE s_ts END)::BIGINT AS fetch_ts,
+               (CASE WHEN action IN ('insert', 'replace')
+                     THEN f_st ELSE s_st END)::INT AS status,
+               CASE WHEN action IN ('insert', 'replace')
+                    THEN f_et ELSE s_et END AS etag,
+               (CASE WHEN action IN ('insert', 'replace')
+                     THEN f_fp ELSE s_fp END)::BIGINT AS fp,
+               CASE WHEN action IN ('insert', 'replace')
+                    THEN f_tx ELSE s_tx END AS text
+        FROM act
     """
     # CDXJ index lookup: mirror of sources/cdx.py — the capture
     # construction AND the SURT transform re-derived in SQL, so a parser

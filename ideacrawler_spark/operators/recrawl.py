@@ -90,3 +90,63 @@ def recrawl_schedule(hist: DataFrame, base: int = 1,
         interval.alias("next_interval"),
         (F.col("last_snap") + interval).cast("int").alias("next_due"),
     )
+
+
+REVALIDATE_FIELDS = ("fetch_ts", "status", "etag", "fp", "text")
+
+
+def revalidate_merge(store: DataFrame, fetched: DataFrame) -> DataFrame:
+    """Conditional-GET merge — the apply step of the recrawl loop.
+
+    ``store`` is the current page store, ``fetched`` the latest
+    revalidation responses (If-None-Match / If-Modified-Since), both
+    with columns (url, fetch_ts, status, etag, fp, text). Per URL:
+
+    * 304 Not Modified  → ``refresh``: body/etag/fp stay stored, only
+      fetch_ts advances (the whole point of validators: no bytes moved);
+    * 200               → ``replace`` (or ``insert`` for a new URL);
+    * 404/410           → ``drop``: the tombstone row is emitted with
+      action='drop' so the caller can filter it from the next store but
+      still count it in lineage;
+    * 5xx/other         → ``keep``: transient failure, store unchanged;
+    * not refetched     → ``keep``;
+    * non-200 for an unknown URL → ``ignore`` (nothing to store).
+
+    Scale shape: ONE full-outer join keyed on url (same co-partitioned
+    shuffle as snapshot_delta), everything else map-side CASE — no
+    second pass, no driver logic. 304s carry no body through the
+    shuffle: the stored text never leaves its side of the join.
+    """
+    s = store.select(
+        "url", *[F.col(c).alias(f"_s_{c}") for c in REVALIDATE_FIELDS])
+    f = fetched.select(
+        "url", *[F.col(c).alias(f"_f_{c}") for c in REVALIDATE_FIELDS])
+    j = s.join(f, "url", "full_outer")
+    action = (
+        F.when(F.col("_s_fetch_ts").isNull() & (F.col("_f_status") == 200),
+               F.lit("insert"))
+        .when(F.col("_s_fetch_ts").isNull(), F.lit("ignore"))
+        .when(F.col("_f_fetch_ts").isNull(), F.lit("keep"))
+        .when(F.col("_f_status") == 304, F.lit("refresh"))
+        .when(F.col("_f_status") == 200, F.lit("replace"))
+        .when(F.col("_f_status").isin(404, 410), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+    )
+    take_new = F.col("action").isin("insert", "replace")
+    return (
+        j.withColumn("action", action)
+        .select(
+            "url", "action",
+            F.when(F.col("action").isin("insert", "replace", "refresh"),
+                   F.col("_f_fetch_ts"))
+            .otherwise(F.col("_s_fetch_ts")).cast("long").alias("fetch_ts"),
+            F.when(take_new, F.col("_f_status"))
+            .otherwise(F.col("_s_status")).cast("int").alias("status"),
+            F.when(take_new, F.col("_f_etag"))
+            .otherwise(F.col("_s_etag")).alias("etag"),
+            F.when(take_new, F.col("_f_fp"))
+            .otherwise(F.col("_s_fp")).cast("long").alias("fp"),
+            F.when(take_new, F.col("_f_text"))
+            .otherwise(F.col("_s_text")).alias("text"),
+        )
+    )

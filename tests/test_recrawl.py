@@ -49,3 +49,45 @@ def test_recrawl_schedule_interval_cap(spark):
     assert r["tail_stable"] == 8
     assert r["next_interval"] == 64  # 2^min(8, 6)
     assert r["next_due"] == 8 + 64
+
+
+def test_revalidate_merge_all_action_arms(spark):
+    from ideacrawler_spark.operators.recrawl import revalidate_merge
+
+    cols = "url string, fetch_ts long, status int, etag string, fp long, text string"
+    store = spark.createDataFrame(
+        [
+            ("u/304", 10, 200, "e1", 1, "old-1"),
+            ("u/200", 10, 200, "e2", 2, "old-2"),
+            ("u/404", 10, 200, "e3", 3, "old-3"),
+            ("u/500", 10, 200, "e4", 4, "old-4"),
+            ("u/stale", 10, 200, "e5", 5, "old-5"),
+        ],
+        cols,
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("u/304", 20, 304, "n1", 11, None),
+            ("u/200", 20, 200, "n2", 12, "new-2"),
+            ("u/404", 20, 404, "n3", 13, None),
+            ("u/500", 20, 500, "n4", 14, None),
+            ("u/new", 20, 200, "n6", 16, "new-6"),
+            ("u/miss", 20, 404, "n7", 17, None),
+        ],
+        cols,
+    )
+    out = {r["url"]: r for r in revalidate_merge(store, fetched).collect()}
+    assert len(out) == 7
+    r = out["u/304"]  # refresh: body/etag/fp stay, ts advances
+    assert (r["action"], r["fetch_ts"], r["etag"], r["fp"], r["text"]) == \
+        ("refresh", 20, "e1", 1, "old-1")
+    r = out["u/200"]
+    assert (r["action"], r["etag"], r["text"]) == ("replace", "n2", "new-2")
+    assert out["u/404"]["action"] == "drop"
+    r = out["u/500"]  # transient: unchanged
+    assert (r["action"], r["fetch_ts"], r["text"]) == ("keep", 10, "old-4")
+    assert out["u/stale"]["action"] == "keep"
+    r = out["u/new"]
+    assert (r["action"], r["status"], r["text"]) == ("insert", 200, "new-6")
+    r = out["u/miss"]  # 404 for a URL never stored
+    assert (r["action"], r["fetch_ts"], r["text"]) == ("ignore", None, None)
