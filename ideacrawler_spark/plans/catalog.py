@@ -133,6 +133,70 @@ class ParquetManifestCatalog:
                     removed.append(p)
         return removed
 
+    def snapshots(self) -> list:
+        """The snapshot log: committed rounds ascending, each with its
+        manifest — the Iceberg ``snapshots`` metadata-table analogue."""
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            if not name.startswith("round="):
+                continue
+            i = int(name.split("=", 1)[1])
+            m = self.manifest(i)
+            if m is not None:
+                out.append({"round": i, "manifest": m})
+        return sorted(out, key=lambda s: s["round"])
+
+    def rollback(self, to_round: int) -> list:
+        """Iceberg rollback-to-snapshot analogue: make ``to_round`` the
+        current snapshot by deleting every LATER round directory
+        (committed or not); the next ``resume()`` then continues from
+        ``to_round`` exactly as if the later rounds never ran.
+
+        Refuses (ValueError) unless the target is resumable:
+        ``frontier_next`` present at the target, and the seen-set rebuild
+        chain intact — the latest committed ``seen_full`` at jf <=
+        to_round plus a ``seen_delta`` for every committed round in
+        (jf, to_round]. Rolling back past an ``expire()`` horizon would
+        otherwise resume with a silently incomplete seen set, which is
+        exactly the corruption a catalog must make impossible.
+
+        ``to_round=-1`` resets the catalog to empty (fresh job). Returns
+        the deleted paths."""
+        import shutil
+
+        if to_round >= 0:
+            if not self.is_committed(to_round):
+                raise ValueError(
+                    f"rollback target round {to_round} is not committed")
+            if not self.has_table(to_round, "frontier_next"):
+                raise ValueError(
+                    f"round {to_round} has no frontier_next "
+                    "(expired) — not resumable")
+            jf = -1
+            for i in range(to_round, -1, -1):
+                if self.is_committed(i) and self.has_table(i, "seen_full"):
+                    jf = i
+                    break
+            for i in range(jf + 1, to_round + 1):
+                if self.is_committed(i) and not self.has_table(i, "seen_delta"):
+                    raise ValueError(
+                        f"seen_delta for round {i} is gone (expired) — "
+                        f"seen-set not reconstructible at round {to_round}")
+        removed: list = []
+        if not os.path.isdir(self.root):
+            return removed
+        for name in os.listdir(self.root):
+            if not name.startswith("round="):
+                continue
+            i = int(name.split("=", 1)[1])
+            if i > to_round:
+                p = os.path.join(self.root, name)
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
+
     def last_committed(self) -> int:
         """Highest committed round, or -1."""
         if not os.path.isdir(self.root):

@@ -299,3 +299,62 @@ def test_expire_removes_superseded_state(spark, web, web_dfs, tmp_path):
                        checkpoint_dir=ck, shuffle_partitions=8,
                        bloom_shards=8, seen_compact_every=2).run(resume=True)
     assert _final_state(out2) == ref_state
+
+
+def test_rollback_then_resume_equivalence(spark, web, web_dfs, tmp_path):
+    """catalog.rollback (Iceberg rollback-to-snapshot analogue): roll a
+    finished crawl's checkpoint back to round 3 and resume — the re-run
+    rounds must reproduce the uninterrupted run bit-for-bit, and the
+    snapshot log must reflect the truncation."""
+    from ideacrawler_spark.plans.catalog import ParquetManifestCatalog
+
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    full_spec = _spec(max_rounds=8, depth=3)
+    ref = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                      checkpoint_dir=str(tmp_path / "ref"),
+                      shuffle_partitions=8, bloom_shards=8).run()
+    ref_state = _final_state(ref)
+    assert ref["rounds"] >= 3
+
+    ck = str(tmp_path / "rb")
+    out1 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8,
+                       bloom_shards=8).run()
+    assert _final_state(out1) == ref_state  # sanity: same job, same result
+    cat = ParquetManifestCatalog(spark, ck)
+    last = cat.last_committed()
+    assert last == ref["rounds"] - 1
+    assert [s["round"] for s in cat.snapshots()] == list(range(last + 1))
+
+    removed = cat.rollback(1)
+    assert removed and cat.last_committed() == 1
+    assert [s["round"] for s in cat.snapshots()] == [0, 1]
+
+    eng2 = CrawlEngine(spark, full_spec, pages_df, robots_df, pushes,
+                       checkpoint_dir=ck, shuffle_partitions=8,
+                       bloom_shards=8)
+    out2 = eng2.run(resume=True)
+    assert _final_state(out2) == ref_state
+
+
+def test_rollback_refuses_past_expire_horizon(spark, web, web_dfs, tmp_path):
+    """Rolling back to a round whose resume state was expired must
+    refuse loudly (ValueError), never resume with an incomplete seen
+    set; rollback to the expire horizon itself still works."""
+    import pytest as _pytest
+
+    from ideacrawler_spark.plans.catalog import ParquetManifestCatalog
+
+    pages_df, robots_df, _, _ = web_dfs
+    _, _, _, pushes = web
+    spec = _spec(max_rounds=4, depth=3)
+    CrawlEngine(spark, spec, pages_df, robots_df, pushes,
+                checkpoint_dir=str(tmp_path / "h"), shuffle_partitions=8,
+                bloom_shards=8, seen_compact_every=2).run()
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "h"))
+    # the engine's own expire already removed pre-compaction state
+    with _pytest.raises(ValueError):
+        cat.rollback(1)   # frontier_next for round 1 is gone
+    # the latest committed round is always a valid target (no-op delete)
+    assert cat.rollback(cat.last_committed()) == []
