@@ -1553,6 +1553,124 @@ def q_sitemap_ingest(spark, sf_dir):
     return discovered.unionByName(parsed)
 
 
+# ---- RSS/Atom feed ingestion (sources/feeds.py) -------------------------
+# Construction data for the fixture feeds; expected rows are hand-written
+# literals below, not derived by running engine code.
+_FEED_RSS = ("http://fone.example/feed.xml", [
+    {"title": "A & B", "link": "http://fone.example/a", "guid": "g1",
+     "pub": "Mon, 02 Feb 2026 03:04:05 GMT"},
+    {"title": "Rel", "link": "/rel/path?x=1", "pub": "bogus date"},
+    {"guid": "http://cdn.example/permalink"},   # permalink guid = link
+    {"title": "NoLink"},                        # no link → dropped
+])
+_FEED_ATOM = ("http://atwo.example/blog/atom.xml", [
+    {"title": "E1", "link": "http://atwo.example/e1", "guid": "id1",
+     "pub": "2026-02-02T03:04:05Z"},
+    {"title": "SelfOnly", "link": "http://atwo.example/self",
+     "rel": "self"},                            # no alternate → dropped
+    {"title": "E2", "link": "e2.html", "pub": "2026-02-02T03:04:05+02:00"},
+])
+_FEED_PAGE = ("http://page.example/p/index.html", (
+    b'<html><head>'
+    b'<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+    b'<link type="application/atom+xml" rel="alternate" '
+    b'href="http://x.example/atom">'
+    b'<link rel="stylesheet" href="/s.css">'
+    b'<link rel="alternate" type="text/html" href="/alt.html">'
+    b'<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+    b'</head></html>'
+))
+# (feed_url, kind, link, url, title, guid, pub_epoch, same_host)
+_FEED_EXPECT = [
+    ("http://page.example/p/index.html", "discovered_rss",
+     "http://page.example/feed.xml", "http://page.example/feed.xml",
+     None, None, None, 1),
+    ("http://page.example/p/index.html", "discovered_atom",
+     "http://x.example/atom", "http://x.example/atom", None, None, None, 0),
+    ("http://fone.example/feed.xml", "rss", "http://fone.example/a",
+     "http://fone.example/a", "A & B", "g1", 1770001445, 1),
+    ("http://fone.example/feed.xml", "rss", "/rel/path?x=1",
+     "http://fone.example/rel/path?x=1", "Rel", None, None, 1),
+    ("http://fone.example/feed.xml", "rss", "http://cdn.example/permalink",
+     "http://cdn.example/permalink", None, "http://cdn.example/permalink",
+     None, 0),
+    ("http://atwo.example/blog/atom.xml", "atom", "http://atwo.example/e1",
+     "http://atwo.example/e1", "E1", "id1", 1770001445, 1),
+    ("http://atwo.example/blog/atom.xml", "atom", "e2.html",
+     "http://atwo.example/blog/e2.html", "E2", None, 1769994245, 1),
+]
+
+
+def q_feed_ingest(spark, sf_dir):
+    """RSS/Atom ingestion + autodiscovery (sources/feeds.py): HTML
+    ``<link rel=alternate type=application/(rss|atom)+xml>`` discovery
+    rows unioned with parsed feed entries — links resolved against the
+    feed URL through the engine normalizer, RFC 822 / RFC 3339 pub
+    timestamps as integer epoch seconds, the cross-host flag the
+    frontier gates on. The reference discovers URLs only from <a href>
+    links (job.go link extraction); feeds are the standard freshness
+    channel a Common-Crawl-style frontier adds. Oracle = hand-written
+    literals from the construction data."""
+    from ideacrawler_spark.sources.feeds import (
+        build_atom,
+        build_rss,
+        discover_feeds,
+        feed_to_entries,
+    )
+
+    files = spark.createDataFrame(
+        [
+            (_FEED_RSS[0], bytearray(build_rss("Blog", _FEED_RSS[1]))),
+            (_FEED_ATOM[0], bytearray(build_atom("AFeed", _FEED_ATOM[1]))),
+            ("http://bad.example/feed.xml", bytearray(b"<html>not a feed")),
+        ],
+        "url string, content binary",
+    )
+    parsed = feed_to_entries(files).select(
+        "feed_url", "kind", "link", "url", "title", "guid", "pub_epoch",
+        F.col("same_host").cast("int").alias("same_host"),
+    )
+    pages = spark.createDataFrame(
+        [(_FEED_PAGE[0], bytearray(_FEED_PAGE[1]))],
+        "url string, content binary",
+    )
+    discovered = discover_feeds(pages).select(
+        F.col("page_url").alias("feed_url"),
+        F.concat(F.lit("discovered_"), F.col("feed_type")).alias("kind"),
+        F.col("feed_url").alias("link"),
+        F.col("feed_url").alias("url"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("guid"),
+        F.lit(None).cast("long").alias("pub_epoch"),
+        _host_eq_int(F.col("feed_url"), F.col("page_url")),
+    )
+    return discovered.unionByName(parsed)
+
+
+def _host_eq_int(a, b):
+    from ideacrawler_spark.functions.urlnorm import host_of
+
+    host_udf = F.pandas_udf(lambda s: s.map(host_of), "string")
+    return (host_udf(a) == host_udf(b)).cast("int").alias("same_host")
+
+
+def _feed_oracle_sql() -> str:
+    rows = []
+    for furl, kind, link, url, title, guid, pub, sh in _FEED_EXPECT:
+        def q(v):
+            return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+        pub_s = "NULL::BIGINT" if pub is None else f"{pub}::BIGINT"
+        rows.append(
+            f"({q(furl)}, {q(kind)}, {q(link)}, {q(url)}, "
+            f"{q(title)}::VARCHAR, {q(guid)}::VARCHAR, {pub_s}, {sh}::INT)"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(feed_url, kind, link, url, title, guid, pub_epoch, "
+        "same_host)"
+    )
+
+
 def _sitemap_oracle_sql() -> str:
     rows = []
     for smurl, kind, loc, url, lm, cf, px, sh in _SITEMAP_EXPECT:
@@ -2381,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_ingest": q_sitemap_ingest,
+        "feed_ingest": q_feed_ingest,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
         "dedup_components": q_dedup_components,
@@ -3216,6 +3335,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         "warc_ingest": _warc_oracle_sql(),
         "warc_roundtrip": _warc_oracle_sql(),
         "sitemap_ingest": _sitemap_oracle_sql(),
+        "feed_ingest": _feed_oracle_sql(),
         "outlinks_resources": _resources_oracle_sql(),
         "main_text": _main_text_oracle_sql(),
         "xpath_extract": _xpath_oracle_sql(),
