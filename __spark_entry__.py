@@ -2032,6 +2032,23 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     return cluster_size_histogram(dedup_components(pairs))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Representative selection over the near-dup clusters: keep the
+    LONGEST doc per cluster (ties → min doc_id), singletons keep
+    themselves — the keep-list step after components. Oracle re-derives
+    the components recursively, then applies the same argmax window."""
+    from ideacrawler_spark.textops.dedup import (
+        dedup_components,
+        dedup_keep_best,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, bucket_cap=64)
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("score"))
+    return dedup_keep_best(scored, dedup_components(pairs))
+
+
 def q_shard_plan(spark, sf_dir):
     """Output-shard manifest: docs assigned to fixed-token-budget shards
     by global token offset (two-phase prefix sum, no corpus window)."""
@@ -2500,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_ingest": q_sitemap_ingest,
         "feed_ingest": q_feed_ingest,
+        "dedup_keep_best": q_dedup_keep_best,
         "main_text": q_main_text,
         "xpath_extract": q_xpath_extract,
         "dedup_components": q_dedup_components,
@@ -3373,6 +3391,49 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
             SELECT src::BIGINT AS doc_id,
                    least(src, min(dst))::BIGINT AS component
             FROM reach GROUP BY src
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLES_SQL}, {_PERMS_SQL},
+            mh AS (
+              SELECT doc_id, j, min((a * sh + b) % 2147483647) AS mh
+              FROM sh CROSS JOIN perms GROUP BY doc_id, j),
+            bands AS (
+              SELECT doc_id, CAST(j // 2 AS INT) AS band,
+                     md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(j // 2 AS INT)),
+            capped AS (
+              SELECT doc_id, band, band_sig FROM bands
+              QUALIFY row_number() OVER (PARTITION BY band, band_sig
+                                         ORDER BY doc_id) <= 64),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+            edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+                      UNION SELECT pb, pa FROM pairs),
+            reach(src, dst) AS (
+              SELECT ea, eb FROM edges
+              UNION
+              SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.dst),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component,
+                     len(string_split(d.text, ' '))::BIGINT AS score
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            rep AS (
+              SELECT component, doc_id AS rep_id FROM lab
+              QUALIFY row_number() OVER (PARTITION BY component
+                                         ORDER BY score DESC, doc_id) = 1)
+            SELECT l.doc_id::BIGINT AS doc_id,
+                   l.component::BIGINT AS component,
+                   l.score AS score,
+                   (CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END)::INT
+                     AS kept
+            FROM lab l JOIN rep r ON l.component = r.component
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents

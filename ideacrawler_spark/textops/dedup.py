@@ -361,6 +361,48 @@ def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_keep_best(docs: DataFrame, labels: DataFrame,
+                    score_col: str = "score") -> DataFrame:
+    """Representative selection — the step that turns near-dup CLUSTERS
+    into a keep-list: per cluster keep the highest-``score_col`` doc
+    (ties → smallest doc_id), drop the rest. Production dedup keeps the
+    best-quality (or longest — RefinedWeb) member, not an arbitrary one;
+    min-id-as-keeper would bias the corpus toward early-crawled copies.
+
+    ``docs``: (doc_id, score); ``labels``: (doc_id, component) from
+    :func:`dedup_components` — docs absent from ``labels`` (never paired)
+    are singleton clusters of themselves. Output one row per doc:
+    (doc_id, component, score, kept 0/1).
+
+    Scale shape: one hash join docs⟕labels on doc_id, ONE
+    partial-aggregated groupBy(component) whose ``max_by(doc_id,
+    struct(score, -doc_id))`` picks the argmax without a cluster-sized
+    window sort (the same mega-cluster discipline as exact_dedup), and
+    one join back on component. All shuffles are keyed on doc_id /
+    component; no window over corpus-sized data anywhere."""
+    lab = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            F.col(score_col).alias("score"),
+        )
+    )
+    rep = lab.groupBy("component").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")),
+        ).alias("rep_id")
+    )
+    return (
+        lab.join(rep, "component")
+        .select(
+            "doc_id", "component", "score",
+            (F.col("doc_id") == F.col("rep_id")).cast("int").alias("kept"),
+        )
+    )
+
+
 def cluster_size_histogram(labels: DataFrame) -> DataFrame:
     """Dedup observability: (cluster_size, n_clusters) over the
     connected-component labels — the number the dedup report leads with

@@ -1115,6 +1115,24 @@ def test_cluster_size_histogram_hand_computed(spark):
     assert got == {3: 1, 2: 1, 1: 1}
 
 
+def test_dedup_keep_best_argmax_ties_and_singletons(spark):
+    """Per cluster the highest score is kept (tie → min doc_id); docs
+    absent from the labels are singletons that keep themselves."""
+    from ideacrawler_spark.textops.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 2), (7, 1)],
+        "doc_id long, score long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],   # doc 7 unlabeled → singleton
+        "doc_id long, component long")
+    got = {r["doc_id"]: (r["component"], r["kept"])
+           for r in dedup_keep_best(docs, labels).collect()}
+    # cluster 1: scores 5,9,9 → docs 2 and 3 tie at 9, min id 2 kept
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0),
+                   4: (4, 1), 7: (7, 1)}
+
+
 def test_incremental_near_dup_finds_cross_batch_only(spark):
     """New docs pair only with existing docs (never new-new); identical
     text guarantees identical band signatures."""
