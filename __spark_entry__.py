@@ -1356,6 +1356,64 @@ def q_crawl_gated(spark, sf_dir):
     )
 
 
+def _feeds_crawl_spec():
+    from ideacrawler_spark.config import JobSpec
+
+    return JobSpec(job_id="feeds-oracle", seed_url="http://fs.example/",
+                   follow_other_domains=True, impolite=True,
+                   follow_feeds=True, min_delay_s=1, round_seconds=10,
+                   max_concurrent=1 << 20)
+
+
+def q_crawl_feeds(spark, sf_dir):
+    """Multi-round crawl with follow_feeds active (sources/feeds.py wired
+    into plans/round.py): RSS/Atom autodiscovery from HTML, feed pages
+    followed for entry links but never shipped, entry titles as anchor
+    text. The oracle is the reference simulator's shipped table under the
+    SAME spec — the simulator implements the feed semantics independently
+    (xml.etree + HTMLParser vs the engine's bounded regex scan)."""
+    from ideacrawler_spark.plans.crawl import CrawlEngine
+    from ideacrawler_spark.sources.fixtures import (
+        PAGES_SCHEMA,
+        ROBOTS_SCHEMA,
+        synth_feed_web,
+    )
+
+    eng = CrawlEngine(
+        spark, _feeds_crawl_spec(),
+        spark.createDataFrame(synth_feed_web(), PAGES_SCHEMA),
+        spark.createDataFrame([], ROBOTS_SCHEMA),
+        shuffle_partitions=8,
+    )
+    out = eng.run()
+    return out["shipped"].orderBy("fetch_seq").select(
+        "fetch_seq", "url", "depth", "anchor_text", "meta", "status", "text"
+    )
+
+
+def _feeds_oracle_sql() -> str:
+    """Shipped table of the feed-following crawl, generated by the
+    simulator's INDEPENDENT feed implementation on the same fixture."""
+    from ideacrawler_spark.refsim import simulate
+    from ideacrawler_spark.sources.fixtures import synth_feed_web
+
+    golden = simulate(_feeds_crawl_spec(), synth_feed_web(), [])
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({s['fetch_seq']}::BIGINT, {q(s['url'])}, {s['depth']}::INT, "
+        f"{q(s['anchor_text'])}, {q(s['meta'])}, {s['status']}::INT, "
+        f"{q(s['text'])})"
+        for s in sorted(golden.shipped, key=lambda s: s["fetch_seq"])
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows + ") AS t("
+        "fetch_seq, url, depth, anchor_text, meta, status, text)"
+    )
+
+
 def q_warc_ingest(spark, sf_dir):
     """Common-Crawl-style WARC ingestion (sources/warc.py): the fixture
     web serialized to a WARC/1.0 archive and parsed back through the
@@ -2513,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_groups": q_lineitem_groups,
         "crawl_flagship": q_crawl_flagship,
         "crawl_gated": q_crawl_gated,
+        "crawl_feeds": q_crawl_feeds,
         "warc_ingest": q_warc_ingest,
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_ingest": q_sitemap_ingest,
@@ -3350,6 +3409,7 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
         # on the exact same rows after its distributed round loop.
         "crawl_flagship": _flagship_oracle_sql(),
         "crawl_gated": _gated_oracle_sql(),
+        "crawl_feeds": _feeds_oracle_sql(),
         "warc_ingest": _warc_oracle_sql(),
         "warc_roundtrip": _warc_oracle_sql(),
         "sitemap_ingest": _sitemap_oracle_sql(),

@@ -56,6 +56,17 @@ class JobSpec:
     # (goclient:109 "Fetchbot").
     useragent: str = "Fetchbot"
     mimetype: str = "text/html"             # proto mimetype (job.go:620-623)
+    # Engine-only: follow RSS/Atom feeds (beyond the reference, which
+    # discovers URLs solely from <a href>, job.go link extraction). When
+    # on: pages whose content type is a feed type (sources/feeds.py
+    # FEED_MIMETYPES — decided by content type, never sniffing) bypass
+    # the mimetype mux for LINK FOLLOWING only — they never ship, never
+    # run callbacks, never count as errors, and skip the login guard;
+    # their entry links (title as anchor text) enter the frontier exactly
+    # like <a href> links. HTML pages additionally contribute raw feed-
+    # autodiscovery hrefs (<link rel=alternate type=…rss/atom…>) appended
+    # after their <a> links in document order.
+    follow_feeds: bool = False
     # Engine-only knob: the virtual wall-clock length of one frontier round.
     # The reference crawls continuously; the batch engine admits
     # floor(round_seconds / crawl_delay(host)) URLs per host per round.

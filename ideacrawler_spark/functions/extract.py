@@ -926,6 +926,43 @@ def extract_links_udf():
     return _extract
 
 
+def extract_links_feed_aware(html, is_feed: bool):
+    """Link extraction for follow_feeds crawls: a FEED page (decided by
+    content type upstream, never by sniffing) yields its entry links
+    with the entry title as anchor text; an HTML page yields its normal
+    <a href> links PLUS raw feed-autodiscovery hrefs appended in
+    document order. Resolution/normalization stay downstream either way."""
+    from ideacrawler_spark.sources.feeds import (
+        autodiscovery_hrefs,
+        feed_entry_links,
+    )
+
+    if isinstance(html, (bytes, bytearray)):
+        b = bytes(html)
+    else:
+        b = ("" if html is None else str(html)).encode("utf-8", "replace")
+    if is_feed:
+        return feed_entry_links(b)
+    return list(extract_links(html)) + [(h, "") for h in
+                                        autodiscovery_hrefs(b)]
+
+
+def extract_links_feeds_udf():
+    """pandas UDF: (html binary, is_feed boolean) →
+    array<struct<href,anchor>> — the follow_feeds extraction path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LINKS_SCHEMA)
+    def _extract(html: pd.Series, is_feed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_links_feed_aware(b, bool(f))
+             for b, f in zip(html, is_feed)],
+            index=html.index,
+        )
+
+    return _extract
+
+
 def extract_resources_udf():
     """pandas UDF: (html binary, page url) → array<string> of prefetch
     resource URLs (S6, prefetchurl.go — the fetch side-effect itself is a

@@ -39,10 +39,12 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _udfs(unsafe: bool):
+def _udfs(unsafe: bool, feeds: bool = False):
+    from ideacrawler_spark.functions.extract import extract_links_feeds_udf
+
     return dict(
         robots=robots_allowed_udf(),
-        extract=extract_links_udf(),
+        extract=extract_links_feeds_udf() if feeds else extract_links_udf(),
         resolve=resolve_canon_udf(unsafe=unsafe),
     )
 
@@ -198,8 +200,23 @@ def run_round(
         ).alias("errors"),
     )
 
-    # mimetype mux (job.go:620-623): non-matching pages are not handled at all
-    handled = fetched.filter(F.col("_ctype_base") == spec.mimetype)
+    # mimetype mux (job.go:620-623): non-matching pages are not handled at
+    # all — except, with follow_feeds, feed-typed pages, which are handled
+    # for LINK FOLLOWING only (config.py knob doc): no ship, no callback,
+    # no error count, no login guard.
+    if spec.follow_feeds:
+        from ideacrawler_spark.sources.feeds import FEED_MIMETYPES
+
+        _feed_ct = F.col("_ctype_base").isin(list(FEED_MIMETYPES))
+        handled = fetched.filter(
+            (F.col("_ctype_base") == spec.mimetype) | _feed_ct
+        ).withColumn(
+            "_is_feed", _feed_ct & (F.col("_ctype_base") != spec.mimetype)
+        )
+    else:
+        handled = fetched.filter(
+            F.col("_ctype_base") == spec.mimetype
+        ).withColumn("_is_feed", F.lit(False))
 
     # ---- HEAD requeue quirk (job.go:302-315): GET, depth reset, anchor lost
     head_requeues = (
@@ -220,7 +237,7 @@ def run_round(
     is_err = (F.col("_status") >= 400) & (F.col("_status") < 600)
 
     # ---- error gate (job.go:121-137): ship error only at depth 0 ---------
-    err_rows = gets.filter(is_err)
+    err_rows = gets.filter(is_err & ~F.col("_is_feed"))
     shipped_err = err_rows.filter(F.col("depth") == 0).select(
         F.col("fetch_seq"), F.col("url"), F.col("depth"),
         F.col("anchor").alias("anchor_text"), F.col("meta"),
@@ -245,8 +262,9 @@ def run_round(
         lkey, lval = spec.login_success_check
         ok = ok.withColumn(
             "_logged_in",
-            F.lower(xpath_value_udf(lkey)(F.col("_html")))
-            == F.lit(str(lval).lower()),
+            F.col("_is_feed")  # feed pages skip the xpath session check
+            | (F.lower(xpath_value_udf(lkey)(F.col("_html")))
+               == F.lit(str(lval).lower())),
         ).persist()
         _login_caches.append(ok)
         logged_out = ok.filter(~F.col("_logged_in"))
@@ -268,14 +286,18 @@ def run_round(
         follow = follow.filter(F.col("depth") < spec.depth)
 
     # ---- link extraction + resolution (the two Arrow UDFs) ---------------
+    if spec.follow_feeds:
+        _extract_col = _udfs(spec.unsafe_normalize, True)["extract"](
+            F.col("_html"), F.col("_is_feed"))
+    else:
+        _extract_col = _udfs(spec.unsafe_normalize)["extract"](
+            F.col("_html"))
     links = follow.select(
         F.col("depth").alias("parent_depth"),
         F.col("seq").alias("parent_seq"),
         F.col("url").alias("parent_url"),
         F.col("meta"),
-        F.posexplode(
-            _udfs(spec.unsafe_normalize)["extract"](F.col("_html"))
-        ).alias("link_pos", "_link"),
+        F.posexplode(_extract_col).alias("link_pos", "_link"),
     ).select(
         "parent_depth", "parent_seq", "parent_url", "meta", "link_pos",
         F.col("_link.href").alias("href"),
@@ -408,7 +430,7 @@ def run_round(
         for pairs in (spec.callback_xpath_match, spec.callback_xpath_regexp):
             if pairs:
                 cb = cb | xpath_match_udf(pairs)(F.col("_html"))
-    shipped_ok = ok.filter(cb).select(
+    shipped_ok = ok.filter(cb & ~F.col("_is_feed")).select(
         F.col("fetch_seq"), F.col("url"), F.col("depth"),
         F.col("anchor").alias("anchor_text"), F.col("meta"),
         F.col("_status").alias("status"),

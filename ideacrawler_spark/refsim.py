@@ -58,6 +58,88 @@ from ideacrawler_spark.functions.urlnorm import (  # noqa: F401
 )
 
 
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _feed_links_et(xml: bytes) -> List[tuple]:
+    """INDEPENDENT feed-entry link extraction for the simulator golden:
+    xml.etree (a real XML parser) vs the engine's bounded regex scan —
+    the two must agree on the fixtures for the crawl golden to pass.
+    Mirrors the follow_feeds spec: RSS <item><link> (permalink-style
+    <guid> fallback), Atom first <link> with rel absent-or-alternate;
+    anchor = title."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return []
+    rt = _local(root.tag)
+    out: List[tuple] = []
+    if rt == "rss":
+        for item in root.iter():
+            if _local(item.tag) != "item":
+                continue
+            link = title = guid = None
+            for ch in item:
+                n = _local(ch.tag)
+                if n == "link":
+                    link = (ch.text or "").strip()
+                elif n == "title":
+                    title = (ch.text or "").strip()
+                elif n == "guid":
+                    guid = (ch.text or "").strip()
+            if not link and guid and guid.startswith(("http://", "https://")):
+                link = guid
+            if link:
+                out.append((link, title or ""))
+    elif rt == "feed":
+        for entry in root.iter():
+            if _local(entry.tag) != "entry":
+                continue
+            link = title = None
+            for ch in entry:
+                n = _local(ch.tag)
+                if n == "title":
+                    title = (ch.text or "").strip()
+                elif n == "link" and link is None:
+                    if (ch.get("rel") or "alternate").lower() == "alternate" \
+                            and ch.get("href"):
+                        link = ch.get("href")
+            if link:
+                out.append((link, title or ""))
+    return out
+
+
+def _autodiscovery_hrefs_hp(html: bytes) -> List[str]:
+    """INDEPENDENT feed autodiscovery for the golden: stdlib HTMLParser
+    over <link> tags vs the engine's regex tag scan."""
+    from html.parser import HTMLParser
+
+    hrefs: List[str] = []
+
+    class _P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "link":
+                return
+            d = {k.lower(): (v or "") for k, v in attrs}
+            if "alternate" not in d.get("rel", "").lower().split():
+                return
+            if d.get("type", "").lower().strip() not in (
+                    "application/rss+xml", "application/atom+xml"):
+                return
+            if d.get("href"):
+                hrefs.append(d["href"])
+
+    try:
+        _P().feed(html.decode("utf-8", errors="replace")
+                  if isinstance(html, (bytes, bytearray)) else (html or ""))
+    except Exception:
+        pass
+    return hrefs
+
+
 def base_content_type(ct: Optional[str]) -> str:
     """Content-Type with parameters stripped (fetchbot handler.go:202-207)."""
     return (ct or "").split(";", 1)[0].strip()
@@ -270,9 +352,17 @@ def simulate(
             page = pages_by_url.get(e.url_norm)
             status = int(page["status"]) if page else 404
             ctype = base_content_type(page["content_type"]) if page else spec.mimetype
-            # mimetype mux: non-matching content type → not handled at all
+            # mimetype mux: non-matching content type → not handled at
+            # all — except feed types under follow_feeds (link-following
+            # only: no ship / callback / error count / login guard)
+            is_feed_page = False
             if ctype != spec.mimetype:
-                continue
+                from ideacrawler_spark.sources.feeds import FEED_MIMETYPES
+
+                if spec.follow_feeds and ctype in FEED_MIMETYPES:
+                    is_feed_page = True
+                else:
+                    continue
             if e.method == "HEAD":
                 # HEAD handler re-enqueues as GET with depth RESET TO 0 and
                 # anchorText dropped — reference quirk (job.go:302-315,
@@ -286,6 +376,8 @@ def simulate(
             if e.no_callback:
                 continue  # worker.go noCallback: GET handler returns immediately
             if 400 <= status < 600:
+                if is_feed_page:
+                    continue
                 m["errors"] += 1
                 if e.depth == 0:
                     res.shipped.append(
@@ -300,7 +392,7 @@ def simulate(
             # error page with EMPTY url + status 1502 and cancels the job
             # at the round boundary (batch cancelChan analogue)
             if spec.login and spec.check_login_after_each_page \
-                    and spec.login_success_check:
+                    and spec.login_success_check and not is_feed_page:
                 from ideacrawler_spark.functions.extract import (
                     xpath_first_value,
                 )
@@ -321,7 +413,14 @@ def simulate(
                 and (spec.depth < 0 or e.depth < spec.depth)
             ):
                 url_map: Dict[str, bool] = {}
-                for href, anchor in extract_links(html):
+                if is_feed_page:
+                    link_iter = _feed_links_et(html)
+                else:
+                    link_iter = list(extract_links(html))
+                    if spec.follow_feeds:
+                        link_iter += [(h, "") for h in
+                                      _autodiscovery_hrefs_hp(html)]
+                for href, anchor in link_iter:
                     # Go requestURL.Parse error ⇒ link skipped (job.go:822-824)
                     if go_rejects_ref(href):
                         continue
@@ -370,6 +469,8 @@ def simulate(
                     seen[nurl] = True
                     seq_counter += 1
                 res.outlinks[e.url] = sorted(url_map)
+            if is_feed_page:
+                continue  # feed pages never ship / run callbacks
             # -- callback OR-chain (job.go:210-273)
             cb = False
             if spec.callback_seed_url and e.depth == 0:

@@ -213,6 +213,47 @@ def feeds_from_html(html: bytes, base_url: str) -> List[dict]:
     return out
 
 
+# Content types that mark a fetched page as a FEED document for the
+# crawl engine's follow_feeds mode (plans/round.py). Feed-ness is decided
+# by content type — not content sniffing — so the engine and the
+# reference simulator agree deterministically on mislabeled payloads.
+FEED_MIMETYPES = (
+    "application/rss+xml",
+    "application/atom+xml",
+    "application/xml",
+    "text/xml",
+)
+
+
+def feed_entry_links(xml: bytes) -> List[tuple]:
+    """[(raw link, title)] in document order for a feed payload — the
+    crawl engine's link-extraction view of a feed page (resolution and
+    normalization happen downstream exactly like <a href> links)."""
+    _, entries = parse_feed(xml)
+    return [(e["link"], e.get("title") or "") for e in entries]
+
+
+def autodiscovery_hrefs(html: bytes) -> List[str]:
+    """RAW hrefs of feed autodiscovery <link> tags in document order (no
+    dedup, no resolution — the crawl engine treats them exactly like
+    <a href> values; the standalone :func:`feeds_from_html` keeps its
+    resolved+deduped surface)."""
+    if not html or len(html) > MAX_FEED_BYTES:
+        return []
+    out = []
+    for m in _HTML_LINK_TAG.finditer(html):
+        a = _attrs(m.group(0))
+        rels = (a.get("rel") or "").lower().split()
+        typ = (a.get("type") or "").lower().strip()
+        href = a.get("href")
+        if "alternate" not in rels or not href:
+            continue
+        if typ not in ("application/rss+xml", "application/atom+xml"):
+            continue
+        out.append(href)
+    return out
+
+
 FEED_ENTRIES_SCHEMA = (
     "feed_url string, kind string, link string, url string, title string, "
     "guid string, pub_epoch long, same_host boolean"

@@ -164,3 +164,49 @@ def synth_web(seed: int = 42, scale: int = 1):
              meta="push-c0", seq=1),  # NOT normalized on purpose (job.go:696)
     ]
     return pages, robots, seeds, pushes
+
+
+def synth_feed_web():
+    """Mini-web exercising follow_feeds (plans/round.py): the seed HTML
+    autodiscovers an RSS feed (same host), an Atom feed (other host) and
+    a 404ing feed URL; entries fan out to HTML pages. Deterministic —
+    used by both the feed-crawl golden test and the crawl_feeds oracle."""
+    from ideacrawler_spark.sources.feeds import build_atom, build_rss
+
+    def page(url, html, text="", status=200, ctype="text/html"):
+        # key order matches PAGES_SCHEMA (createDataFrame is positional)
+        return dict(url=url, warc_ts=None, html=html, text=text, lang="en",
+                    status=status, content_type=ctype)
+
+    rss = build_rss("FS Blog", [
+        {"title": "Post One", "link": "/posts/1",
+         "pub": "Mon, 02 Feb 2026 03:04:05 GMT"},
+        {"title": "Other & Co", "link": "http://blog.other/x"},
+        {"guid": "http://fs.example/posts/2"},
+    ])
+    atom = build_atom("Other Feed", [
+        {"title": "P1", "link": "http://blog.other/p1", "guid": "i1"},
+        {"title": "Self", "link": "http://blog.other/self", "rel": "self"},
+        {"title": "P2", "link": "p2.html"},
+    ])
+    return [
+        page("http://fs.example/", (
+            b'<html><head>'
+            b'<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+            b'<link rel="alternate" type="application/atom+xml" '
+            b'href="http://blog.other/atom.xml">'
+            b'<link rel="alternate" type="application/rss+xml" href="/missing.xml">'
+            b'</head><body><a href="/about.html">About</a></body></html>'),
+            text="home"),
+        page("http://fs.example/about.html",
+             b'<a href="/">home</a>', text="about page"),
+        page("http://fs.example/feed.xml", rss,
+             ctype="application/rss+xml"),
+        page("http://blog.other/atom.xml", atom,
+             ctype="application/atom+xml"),
+        page("http://fs.example/posts/1", b"<p>one</p>", text="post one"),
+        page("http://fs.example/posts/2", b"<p>two</p>", text="post two"),
+        page("http://blog.other/x", b"<p>x</p>", text="other x"),
+        page("http://blog.other/p1", b"<p>p1</p>", text="other p1"),
+        page("http://blog.other/p2.html", b"<p>p2</p>", text="other p2"),
+    ]

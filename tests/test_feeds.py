@@ -126,3 +126,68 @@ def test_spark_surface_resolution_and_epoch(spark):
     d = discover_feeds(pages).collect()
     assert [(r["feed_url"], r["feed_type"]) for r in d] == [
         ("http://p.example/fa.xml", "atom")]
+
+
+def _feed_web():
+    from ideacrawler_spark.sources.fixtures import synth_feed_web
+
+    return synth_feed_web()
+
+
+def test_follow_feeds_crawl_matches_simulator(spark):
+    """Golden: the engine's feed-following crawl (regex-scan parser,
+    distributed plan) must match the simulator's independent
+    ElementTree/HTMLParser implementation bit-for-bit — order, seen-set,
+    shipped rows, outlinks."""
+    import pandas as pd
+    import test_crawl_e2e as e2e
+
+    from ideacrawler_spark.config import JobSpec
+    from ideacrawler_spark.plans.crawl import CrawlEngine
+    from ideacrawler_spark.refsim import simulate
+    from ideacrawler_spark.sources.fixtures import PAGES_SCHEMA, ROBOTS_SCHEMA
+
+    pages = _feed_web()
+    spec = JobSpec(job_id="feedjob", seed_url="http://fs.example/",
+                   follow_other_domains=True, impolite=True,
+                   follow_feeds=True, min_delay_s=1, round_seconds=10,
+                   max_concurrent=1 << 20)
+    golden = simulate(spec, pages, [])
+    pages_df = spark.createDataFrame(pd.DataFrame(pages), PAGES_SCHEMA)
+    robots_df = spark.createDataFrame([], ROBOTS_SCHEMA)
+    got = CrawlEngine(spark, spec, pages_df, robots_df,
+                      shuffle_partitions=8).run()
+    e2e._assert_match(golden, got)
+
+    fetched = {o["url"] for o in golden.order}
+    shipped = {s["url"]: s for s in golden.shipped}
+    # both feeds were fetched, the entries crawled, the feeds never shipped
+    assert "http://fs.example/feed.xml" in fetched
+    assert "http://blog.other/atom.xml" in fetched
+    assert "http://fs.example/posts/1" in shipped
+    assert "http://blog.other/p2.html" in shipped
+    assert "http://fs.example/feed.xml" not in shipped
+    assert "http://blog.other/atom.xml" not in shipped
+    # entry title rides as anchor text; rel=self never followed
+    assert shipped["http://fs.example/posts/1"]["anchor_text"] == "Post One"
+    assert "http://blog.other/self" not in fetched
+    # the 404 feed URL was fetched and dropped, never shipped
+    assert "http://fs.example/missing.xml" in fetched
+    assert "http://fs.example/missing.xml" not in shipped
+
+
+def test_follow_feeds_off_feeds_invisible(spark):
+    """Default job: autodiscovery links are not <a href> links — the
+    crawl never sees the feeds at all."""
+    import pandas as pd
+
+    from ideacrawler_spark.config import JobSpec
+    from ideacrawler_spark.refsim import simulate
+
+    pages = _feed_web()
+    spec = JobSpec(job_id="nofeeds", seed_url="http://fs.example/",
+                   follow_other_domains=True, impolite=True,
+                   min_delay_s=1, round_seconds=10)
+    golden = simulate(spec, pages, [])
+    fetched = {o["url"] for o in golden.order}
+    assert fetched == {"http://fs.example/", "http://fs.example/about.html"}
