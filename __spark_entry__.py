@@ -1230,6 +1230,34 @@ def q_recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(_snapshots(spark, sf_dir))
 
 
+def _announcements(spark, sf_dir):
+    """Deterministic synthetic feed announcements on the snapshot time
+    scale: page id = event_id div 4 announced at pub = event_id mod 9
+    for the user_id % 7 == 3 slice (some pubs beat the last observation
+    at snap <= 3, some don't; some urls are never crawled)."""
+    ev = _load(spark, sf_dir, "events")
+    pid = F.expr("event_id div 4")
+    return ev.filter(F.col("user_id") % 7 == 3).select(
+        F.concat(F.lit("http://host"), (pid % 7).cast("string"),
+                 F.lit(".example/p/"), pid.cast("string")).alias("url"),
+        (F.col("event_id") % 9).cast("int").alias("pub"),
+    )
+
+
+def q_feed_refresh(spark, sf_dir):
+    """Feed-driven recrawl override: announcements newer than the last
+    observation reset the exponential backoff; never-crawled announced
+    urls become discovery rows. Composes recrawl_schedule with the feed
+    source's announcement shape."""
+    from ideacrawler_spark.operators.recrawl import (
+        feed_refresh,
+        recrawl_schedule,
+    )
+
+    return feed_refresh(recrawl_schedule(_snapshots(spark, sf_dir)),
+                        _announcements(spark, sf_dir))
+
+
 RETRIEVAL_TERMS = ("spark", "hash", "window")
 
 
@@ -2556,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_postings": q_token_postings,
         "snapshot_delta": q_snapshot_delta,
         "recrawl_schedule": q_recrawl_schedule,
+        "feed_refresh": q_feed_refresh,
         "frontier_prioritized": q_frontier_prioritized,
         "anchor_corpus": q_anchor_corpus,
         "host_trustrank": q_host_trustrank,
@@ -3717,6 +3746,52 @@ def _oracle_sql_base(dotq) -> dict[str, str]:
                    (last_snap + (1 << least(n_obs - lc, 6)))::INT
                      AS next_due
             FROM a
+        """,
+        "feed_refresh": f"""
+            WITH {_HIST_SQL},
+            x AS (SELECT url, snap, fp,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY snap) AS idx,
+                         lag(fp) OVER (PARTITION BY url
+                                       ORDER BY snap) AS prev
+                  FROM hist),
+            a AS (SELECT url,
+                         max(idx)::INT AS n_obs,
+                         count(DISTINCT fp)::INT AS n_versions,
+                         max(CASE WHEN prev IS NULL OR fp <> prev
+                                  THEN idx END)::INT AS lc,
+                         max(snap)::INT AS last_snap
+                  FROM x GROUP BY url),
+            sched AS (
+              SELECT url, n_obs, n_versions,
+                     (n_obs - lc)::INT AS tail_stable,
+                     (1 << least(n_obs - lc, 6))::INT AS next_interval,
+                     (last_snap + (1 << least(n_obs - lc, 6)))::INT
+                       AS next_due
+              FROM a),
+            ann AS (
+              SELECT 'http://host' || ((event_id // 4) % 7)
+                       || '.example/p/' || (event_id // 4) AS url,
+                     max(event_id % 9)::INT AS pub_max,
+                     count(*)::INT AS n_ann
+              FROM events WHERE user_id % 7 = 3 GROUP BY 1)
+            SELECT coalesce(s.url, ann.url) AS url,
+                   coalesce(s.n_obs, 0)::INT AS n_obs,
+                   coalesce(s.n_versions, 0)::INT AS n_versions,
+                   coalesce(s.tail_stable, 0)::INT AS tail_stable,
+                   (CASE WHEN pub_max IS NOT NULL AND (s.next_due IS NULL
+                           OR pub_max > s.next_due - s.next_interval)
+                         THEN 1 ELSE s.next_interval END)::INT
+                     AS next_interval,
+                   (CASE WHEN pub_max IS NOT NULL AND (s.next_due IS NULL
+                           OR pub_max > s.next_due - s.next_interval)
+                         THEN pub_max ELSE s.next_due END)::INT
+                     AS next_due,
+                   coalesce(n_ann, 0)::INT AS n_ann,
+                   (CASE WHEN pub_max IS NOT NULL AND (s.next_due IS NULL
+                           OR pub_max > s.next_due - s.next_interval)
+                         THEN 1 ELSE 0 END)::INT AS feed_fresh
+            FROM sched s FULL OUTER JOIN ann ON s.url = ann.url
         """,
         "host_degrees": f"""
             WITH {_EDGES_SQL},

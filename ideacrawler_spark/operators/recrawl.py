@@ -92,6 +92,54 @@ def recrawl_schedule(hist: DataFrame, base: int = 1,
     )
 
 
+def feed_refresh(schedule: DataFrame, announcements: DataFrame,
+                 base: int = 1) -> DataFrame:
+    """Feed-driven schedule override — the recrawl loop's use of the
+    feed source (sources/feeds.py): a syndication entry announcing a
+    publication AFTER our last observation is direct evidence the page
+    changed, so the exponential backoff is overridden and the revisit
+    falls due at the announcement.
+
+    ``schedule``: output of :func:`recrawl_schedule` (last observation
+    time recovered as next_due - next_interval); ``announcements``:
+    (url, pub) integer publication times, e.g. ``pub_epoch`` from
+    ``feed_to_entries`` on the history's time scale. Per url:
+
+    - announced with max(pub) > last observation → ``feed_fresh`` = 1,
+      ``next_interval`` resets to ``base``, ``next_due`` = max(pub);
+    - announced but stale (max(pub) <= last obs) → schedule unchanged;
+    - never announced → schedule unchanged, n_ann 0;
+    - announced but never crawled → a DISCOVERY row: n_obs 0,
+      n_versions 0, tail_stable 0, interval ``base``, due at max(pub).
+
+    Scale shape: ONE partial-aggregated groupBy(url) on the (small)
+    announcement side + ONE full-outer hash join on url; the schedule
+    side — the 10^10-URL table — is never re-windowed or re-shuffled
+    beyond that single key join. All outputs integers."""
+    ann = announcements.groupBy("url").agg(
+        F.max("pub").cast("int").alias("_pub_max"),
+        F.count("*").cast("int").alias("n_ann"),
+    )
+    j = schedule.join(ann, "url", "full_outer")
+    last_obs = F.col("next_due") - F.col("next_interval")
+    fresh = F.col("_pub_max").isNotNull() & (
+        F.col("next_due").isNull() | (F.col("_pub_max") > last_obs))
+    return j.select(
+        "url",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("int").alias("n_obs"),
+        F.coalesce(F.col("n_versions"), F.lit(0)).cast("int")
+         .alias("n_versions"),
+        F.coalesce(F.col("tail_stable"), F.lit(0)).cast("int")
+         .alias("tail_stable"),
+        F.when(fresh, F.lit(base)).otherwise(F.col("next_interval"))
+         .cast("int").alias("next_interval"),
+        F.when(fresh, F.col("_pub_max")).otherwise(F.col("next_due"))
+         .cast("int").alias("next_due"),
+        F.coalesce(F.col("n_ann"), F.lit(0)).cast("int").alias("n_ann"),
+        fresh.cast("int").alias("feed_fresh"),
+    )
+
+
 REVALIDATE_FIELDS = ("fetch_ts", "status", "etag", "fp", "text")
 
 

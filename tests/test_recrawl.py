@@ -91,3 +91,38 @@ def test_revalidate_merge_all_action_arms(spark):
     assert (r["action"], r["status"], r["text"]) == ("insert", 200, "new-6")
     r = out["u/miss"]  # 404 for a URL never stored
     assert (r["action"], r["fetch_ts"], r["text"]) == ("ignore", None, None)
+
+
+def test_feed_refresh_override_arms(spark):
+    """All four arms: fresh announcement resets backoff and falls due at
+    the announcement; stale announcement and unannounced urls keep their
+    schedule; announced-never-crawled urls become discovery rows."""
+    from ideacrawler_spark.operators.recrawl import feed_refresh
+
+    # (url, n_obs, n_versions, tail_stable, next_interval, next_due)
+    # last observation = next_due - next_interval
+    sched = spark.createDataFrame(
+        [("u_fresh", 3, 2, 1, 2, 12),    # last obs 10
+         ("u_stale", 4, 1, 3, 8, 28),    # last obs 20
+         ("u_quiet", 2, 2, 0, 1, 6)],
+        "url string, n_obs int, n_versions int, tail_stable int, "
+        "next_interval int, next_due int")
+    ann = spark.createDataFrame(
+        [("u_fresh", 11), ("u_fresh", 9),   # max 11 > 10 → fresh
+         ("u_stale", 20),                   # 20 <= 20 → stale
+         ("u_new", 7), ("u_new", 5)],       # never crawled → discovery
+        "url string, pub int")
+    got = {r["url"]: r.asDict() for r in
+           feed_refresh(sched, ann, base=1).collect()}
+    assert got["u_fresh"] == dict(url="u_fresh", n_obs=3, n_versions=2,
+                                  tail_stable=1, next_interval=1,
+                                  next_due=11, n_ann=2, feed_fresh=1)
+    assert got["u_stale"] == dict(url="u_stale", n_obs=4, n_versions=1,
+                                  tail_stable=3, next_interval=8,
+                                  next_due=28, n_ann=1, feed_fresh=0)
+    assert got["u_quiet"] == dict(url="u_quiet", n_obs=2, n_versions=2,
+                                  tail_stable=0, next_interval=1,
+                                  next_due=6, n_ann=0, feed_fresh=0)
+    assert got["u_new"] == dict(url="u_new", n_obs=0, n_versions=0,
+                                tail_stable=0, next_interval=1,
+                                next_due=7, n_ann=2, feed_fresh=1)
