@@ -52,6 +52,11 @@ def make_spark(cores: int):
         # skew-bounded by construction (salted admission, capped buckets),
         # so AQE buys them nothing to offset that serialization.
         .config("spark.sql.adaptive.enabled", "false")
+        # a neighbor-tenant storm can stall a small broadcast past the
+        # 300 s default and kill the whole run (seen once this round on
+        # the local[2] leg); the timeout is a liveness guard, not part of
+        # the measurement — attempts record their own wall clock
+        .config("spark.sql.broadcastTimeout", "1200")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.ui.enabled", "false")
