@@ -130,6 +130,25 @@ def _norm_userinfo(userinfo: str) -> str | None:
     return _reencode(userinfo, _ALLOWED_USERINFO)
 
 
+# Targeted fast path for the common "simple absolute URL" shape:
+# scheme://host[:port][/path][?], where the netloc has no userinfo, no
+# IPv6 bracket, no %-escape and no empty port, the path contains only
+# bytes the urlesc encodePath mode keeps literal (plus WELL-FORMED %XX
+# escapes), there is no query content (at most one bare trailing '?',
+# which FlagRemoveEmptyQuerySeparator drops) and no fragment. For a match
+# the full pipeline reduces to: lowercase scheme+host, drop the default
+# port, re-encode the path only when it contains escapes. Anything else
+# falls through to the general path below — same outputs, proven by the
+# urlnorm property tests which run both shapes through `canonicalize`.
+_RX_FAST_ABS = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+\-.]*)://"
+    r"([A-Za-z0-9.\-]+)"
+    r"(?::([0-9]+))?"
+    r"((?:/(?:[A-Za-z0-9\-._~!$&'()*+,;=:@/\[\]]|%[0-9A-Fa-f]{2})*)?)"
+    r"(\?)?$"
+)
+
+
 def canonicalize(url: str, unsafe: bool = False) -> str | None:
     """Reference-parity canonical form of an absolute URL.
 
@@ -139,6 +158,21 @@ def canonicalize(url: str, unsafe: bool = False) -> str | None:
     """
     if url is None:
         return None
+    if not unsafe:
+        m = _RX_FAST_ABS.match(url)
+        if m is not None:
+            scheme = m.group(1).lower()
+            host = m.group(2).lower()
+            port = m.group(3)
+            path = m.group(4)
+            if "%" in path:
+                path = _reencode(path, _ALLOWED_PATH)
+                if path is None:  # unreachable: the regex pins %XX form
+                    return None
+            out = scheme + "://" + host
+            if port is not None and _DEFAULT_PORTS.get(scheme) != port:
+                out += ":" + port
+            return out + path
     if any(ord(c) < 0x20 or ord(c) == 0x7F for c in url):
         return None  # Go: "net/url: invalid control character in URL"
     try:
@@ -261,8 +295,13 @@ def host_of(url: str) -> str:
 
 # Fast-path detector: scheme+host already lowercase ASCII, no %-escapes, no
 # default port, no trailing '?', no fragment, no userinfo, no uppercase.
+# The authority is ONLY host characters and the path (if any) must start
+# with '/' — an '@' may appear in the path but never before the first
+# slash, so a match proves the URL has no userinfo to re-encode (the
+# r5 shape allowed '@' directly after the host, where it silently
+# flipped the host into an unnormalized userinfo).
 _RX_ALREADY_CANONICAL = re.compile(
-    r"^https?://[a-z0-9.-]+[a-z0-9\-._~!$&'()*+,;=@/]*$"  # no ':' ⇒ no port/userinfo
+    r"^https?://[a-z0-9.-]+(?:/[a-z0-9\-._~!$&'()*+,;=@/]*)?$"
 )
 
 
@@ -270,23 +309,41 @@ def canonicalize_series(urls: pd.Series, unsafe: bool = False) -> pd.Series:
     """Vectorized canonicalization of a string Series.
 
     Already-canonical URLs (the common case for a well-behaved frontier)
-    pass through via one compiled-regex match (the character class excludes
-    '%', '?' and uppercase, so a match IS a proof of canonical form); only
-    dirty URLs take the per-value slow path. One pass, no Series copies —
-    this is the hot path of the whole engine."""
-    fast = _RX_ALREADY_CANONICAL.match
+    are detected with ONE pyarrow RE2 pass over the whole batch (the
+    character class excludes '%', '?' and uppercase, so a match IS a proof
+    of canonical form) and pass through untouched; only dirty URLs take
+    the per-value path, which itself fast-paths simple absolute URLs
+    (``_RX_FAST_ABS``). The Python-level loop therefore only ever runs
+    over the dirty minority — this is the hot path of the whole engine."""
     if unsafe:
         out = [
             canonicalize(u, unsafe=True) if isinstance(u, str) else None
             for u in urls
         ]
-    else:
+        return pd.Series(out, index=urls.index, dtype=object)
+    try:
+        import numpy as np
+        import pyarrow as pa  # noqa: F401 — ships with pyspark
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(urls)
+        mask = np.asarray(
+            pc.match_substring_regex(arr, _RX_ALREADY_CANONICAL.pattern)
+            .fill_null(False)
+        )
+    except Exception:  # noqa: BLE001 — any arrow hiccup → pure-Python path
+        fast = _RX_ALREADY_CANONICAL.match
         out = [
             u if (isinstance(u, str) and fast(u) is not None)
             else (canonicalize(u) if isinstance(u, str) else None)
             for u in urls
         ]
-    return pd.Series(out, index=urls.index, dtype=object)
+        return pd.Series(out, index=urls.index, dtype=object)
+    vals = urls.to_numpy(dtype=object, copy=True)
+    for i in np.nonzero(~mask)[0]:
+        v = vals[i]
+        vals[i] = canonicalize(v) if isinstance(v, str) else None
+    return pd.Series(vals, index=urls.index, dtype=object)
 
 
 def canonicalize_udf(unsafe: bool = False):
@@ -333,18 +390,78 @@ def host_raw(url: str) -> str:
 RESOLVED_SCHEMA = "struct<url_norm:string,host_raw:string,host:string>"
 
 
+# Rooted reference whose characters are all in the already-canonical set
+# and which contains no dot segments: resolving it against a canonical
+# base is pure string assembly (RFC 3986 5.3: scheme+authority from the
+# base, path = the reference verbatim — dot-segment removal is a no-op).
+# the (?!/) keeps protocol-relative '//authority' references (RFC 3986
+# 4.2 network-path) out of the rooted-path fast lane
+_RX_ROOTED_SIMPLE = re.compile(r"^/(?!/)[a-z0-9\-._~!$&'()*+,;=@/]*$|^/$")
+_RX_DOTSEG = re.compile(r"/\.\.?(?:/|$)")
+
+
 def resolve_canon_udf(unsafe: bool = False):
     """pandas UDF (base_url, href) → struct(url_norm, host_raw, host).
 
     One Arrow batch pass per partition performing Go requestURL.Parse
     (RFC 3986 urljoin) + purell normalization + both hostname flavors.
-    Rows where Go url.Parse would error come back all-None (skipped)."""
+    Rows where Go url.Parse would error come back all-None (skipped).
+
+    Marked non-deterministic: a filter on the output struct (the standard
+    ``url_norm IS NOT NULL`` gate every caller applies) is otherwise
+    pushed below the projection by Catalyst, which duplicates the
+    ArrowEvalPython node — every surviving row paid for the resolve
+    TWICE (two `_resolve` nodes in the anchor_corpus/round plans).
+
+    Batch fast paths (the general path is unchanged and fuzz-tested
+    equivalent):
+    - an href that is itself an already-canonical absolute URL resolves
+      to itself (RFC 3986 5.2.2 with a defined scheme);
+    - a dot-segment-free rooted href against an already-canonical base is
+      scheme://authority + href."""
     from pyspark.sql.functions import pandas_udf
+
+    fast_abs = _RX_ALREADY_CANONICAL.match
+    rooted = _RX_ROOTED_SIMPLE.match
+    dotseg = _RX_DOTSEG.search
 
     @pandas_udf(RESOLVED_SCHEMA)
     def _resolve(base: pd.Series, href: pd.Series) -> pd.DataFrame:
         norms, raws, hosts = [], [], []
+        memo_b = None       # bases repeat (one page, many links)
+        memo_prefix = None  # (scheme://netloc, host) when base is canonical
         for b, h in zip(base, href):
+            # unsafe mode also strips directory-index path tails, which
+            # the canonical-shape proofs below do not cover; an href with
+            # ';' goes through urljoin's urlparse ;params quirk (a bare
+            # trailing ';' is dropped) that plain assembly would miss
+            if not unsafe and isinstance(b, str) and isinstance(h, str) \
+                    and ";" not in h:
+                if fast_abs(h) is not None:
+                    # absolute, already-canonical: resolution = identity
+                    netloc = h.split("/", 3)[2]
+                    host = netloc.rsplit("@", 1)[-1]
+                    norms.append(h)
+                    raws.append(host)
+                    hosts.append(host)
+                    continue
+                if rooted(h) is not None and dotseg(h) is None:
+                    if b != memo_b:
+                        memo_b = b
+                        if fast_abs(b) is not None:
+                            parts = b.split("/", 3)
+                            memo_prefix = (
+                                "/".join(parts[:3]),
+                                parts[2].rsplit("@", 1)[-1],
+                            )
+                        else:
+                            memo_prefix = None
+                    if memo_prefix is not None:
+                        prefix, host = memo_prefix
+                        norms.append(prefix + h)
+                        raws.append(host)
+                        hosts.append(host)
+                        continue
             try:
                 if h is not None and go_rejects_ref(h):
                     raise ValueError("colon in first path segment")
@@ -365,4 +482,4 @@ def resolve_canon_udf(unsafe: bool = False):
                 hosts.append("")
         return pd.DataFrame({"url_norm": norms, "host_raw": raws, "host": hosts})
 
-    return _resolve
+    return _resolve.asNondeterministic()

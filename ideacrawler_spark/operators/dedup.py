@@ -42,14 +42,31 @@ def first_occurrence(candidates: DataFrame, key: str = "url_norm",
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
-                   key: str = "url_norm", seen_key: str = "key") -> DataFrame:
+                   key: str = "url_norm", seen_key: str = "key",
+                   partitioned: bool = False) -> DataFrame:
     """Drop candidates whose key is already in the seen table.
 
-    The join key leads with the 64-bit xxhash of the string: the shuffle
-    hashes/sorts 8-byte longs and the string equality only runs on hash
-    ties, so almost every comparison short-circuits. The exact string stays
-    in the condition — results are bit-for-bit (hash collisions fall back
-    to the string compare)."""
+    Default path: the join key leads with the 64-bit xxhash of the string —
+    the shuffle hashes/sorts 8-byte longs and the string equality only runs
+    on hash ties, so almost every comparison short-circuits. The exact
+    string stays in the condition — results are bit-for-bit (hash
+    collisions fall back to the string compare).
+
+    ``partitioned=True``: the caller promises ``candidates`` comes straight
+    out of an aggregation keyed on ``key`` (the engine's round order always
+    runs :func:`first_occurrence` first), i.e. it is ALREADY hash-
+    partitioned by ``key``. The join then uses the raw key so Spark reuses
+    that exchange instead of re-shuffling every candidate row on the
+    hash-led composite, and the seen side carries a SHUFFLE_HASH hint: a
+    hash anti-probe needs no sort on either side (the hash-led key only
+    paid off by making sort-merge compares cheap). The per-partition build
+    side is |seen| / shuffle-partitions — bounded; at the 10^10 design
+    point the production path prefilters through the Bloom/cuckoo shards
+    (operators/bloom.py) so the exact join only ever sees the maybe-seen
+    remainder."""
+    if partitioned:
+        s = seen.select(F.col(seen_key).alias(key)).hint("SHUFFLE_HASH")
+        return candidates.join(s, on=[key], how="left_anti")
     s = seen.select(
         F.xxhash64(F.col(seen_key)).alias("__seen_hash"),
         F.col(seen_key).alias("__seen_key"),

@@ -7,9 +7,18 @@ job.go:846-869). ``Window.orderBy(...)`` with no partition key funnels
 every row through ONE task — fatal at 10^10 rows. Instead:
 
 1. ``repartitionByRange`` on the order key (range partitioner → globally
-   ordered partitions);
-2. ``row_number`` within each physical partition (cheap: data already
-   sorted, partition key = spark_partition_id);
+   ordered partitions) over a PERSISTED input: the range partitioner's
+   sampling job and the shuffle itself would otherwise each recompute the
+   caller's (typically UDF-heavy) upstream lineage — profiled on the 16M
+   bench frontier this double-computed the whole canonicalize→dedup→
+   admission pipeline (guide §1.2: fix the distributed algorithm first);
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` to number
+   rows within each physical partition: the id packs
+   (partition_id << 33) | local_row_index, so pid/rn are recovered with
+   two bit ops and NO ``Window.partitionBy(spark_partition_id())`` —
+   the window's ClusteredDistribution requirement inserted a full extra
+   Exchange+Sort of the ranked data (Spark cannot know the data is
+   already partitioned by its own partition id);
 3. per-partition counts (tiny aggregate, ≤ num_partitions rows) →
    cumulative offsets via a window over THAT tiny frame →
    broadcast-joined back.
@@ -21,7 +30,10 @@ partition COUNTS, not data rows, so the driver never blocks mid-plan
 
 The resulting rank is independent of the sampled range boundaries because
 the order key is strictly unique, so the output is deterministic across
-runs and parallelism levels.
+runs and parallelism levels. The per-partition numbering is deterministic
+too: ids are assigned in the order of the explicit sortWithinPartitions,
+so a recomputed (cache-evicted, retried) partition reproduces the same
+ids.
 """
 
 from __future__ import annotations
@@ -61,15 +73,32 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
         return df.withColumn(
             out_col,
             (F.row_number().over(w) - 1 + F.lit(offset)).cast("long"))
+    # persist the INPUT before the range shuffle: the range partitioner's
+    # boundary-sampling job executes the child once and the shuffle executes
+    # it again — for a UDF-heavy caller that doubles the whole pipeline
+    src = df.persist()
+    if track is not None:
+        track.append(src)
     if num_partitions:
-        part = df.repartitionByRange(num_partitions, *cols)
+        part = src.repartitionByRange(num_partitions, *cols)
     else:
-        part = df.repartitionByRange(*cols)
-    part = part.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*cols)
+        part = src.repartitionByRange(*cols)
+    # number rows inside each range partition WITHOUT a window: the id is
+    # (pid << 33) | row_index in the sortWithinPartitions order, so the
+    # split below is exact and no Exchange(_pid)+Sort is ever planned
+    part = (
+        part.sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.shiftrightunsigned(F.col("_mid"), 33).cast("int").alias("_pid"),
+            (F.col("_mid") % F.lit(1 << 33) + 1).cast("int").alias("_rn"),
+        )
+        .drop("_mid")
+    )
     # persist: the offsets subquery and the caller's action would otherwise
-    # both recompute the (possibly UDF-heavy) upstream lineage
-    ranked = part.withColumn("_rn", F.row_number().over(w)).persist()
+    # both recompute the range shuffle
+    ranked = part.persist()
     if track is not None:
         track.append(ranked)
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))

@@ -104,10 +104,12 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
     t0 = time.monotonic()
     canon = frontier.withColumn("url_norm", canonicalize_udf()(F.col("url")))
     cand = canon.select("url_norm", "host", "depth", "seq")
-    # the engine's round order (round.py:249-264): in-round first
-    # occurrence, THEN the seen anti-join
+    # the engine's round order (round.py): in-round first occurrence, THEN
+    # the seen anti-join; partitioned=True reuses the groupBy exchange (the
+    # candidates are already hash-partitioned by url_norm) and probes the
+    # seen hash table without sorting either side
     firsts = first_occurrence(cand, key="url_norm", order_cols=("depth", "seq"))
-    fresh = anti_join_seen(firsts, seen, key="url_norm")
+    fresh = anti_join_seen(firsts, seen, key="url_norm", partitioned=True)
     admitted, _carried = admit_budget(
         fresh.withColumnRenamed("url_norm", "url"),  # salt source
         F.lit(host_budget),

@@ -33,15 +33,16 @@ def anchor_corpus(pages: DataFrame, url_col: str = "url",
     links = pages.select(
         F.col(url_col).alias("_page"),
         F.explode(extract_links_udf()(F.col(html_col))).alias("_l"),
-    )
+    ).filter(F.col("_l.anchor") != "")  # BEFORE the resolve UDF: empty-
+    # anchor links never cross the Python boundary (resolve_canon_udf is
+    # non-deterministic, so Catalyst would no longer push this for us)
     resolved = links.select(
         resolve_canon_udf()(F.col("_page"), F.col("_l.href"))
         .getField("url_norm").alias("target"),
         F.col("_l.anchor").alias("atext"),
     )
     return (
-        resolved.filter(F.col("target").isNotNull()
-                        & (F.col("atext") != ""))
+        resolved.filter(F.col("target").isNotNull())
         .groupBy("target", "atext")
         .agg(F.count("*").cast("long").alias("n"))
     )

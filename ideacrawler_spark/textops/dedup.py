@@ -259,6 +259,17 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20,
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # convergence probe: labels are non-increasing (min-propagation and
+    # pointer jumping only ever lower them), so the label-sum is strictly
+    # monotone decreasing until the fixpoint — equal consecutive sums ⇔
+    # no label changed. One scan of the checkpointed frame per iteration
+    # instead of a join of old vs new labels (decimal sum: exact, no
+    # 64-bit overflow at any plausible id range x corpus size).
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neigh = edges.join(
@@ -284,18 +295,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20,
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged and strict:
         raise RuntimeError(

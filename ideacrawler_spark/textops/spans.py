@@ -61,6 +61,23 @@ def window_hashes(docs: DataFrame, k: int = SPAN_K,
     )
 
 
+def hashed_windows(docs: DataFrame, k: int = SPAN_K,
+                   text_col: str = "text") -> DataFrame:
+    """:func:`window_hashes`, persisted. The md5 window pass is the
+    dominant cost of every span operator, and each operator references it
+    from more than one subtree (the position explode AND the global count
+    side); worse, Catalyst's inferred not-null/not-empty filter below each
+    ``posexplode`` re-evaluates the whole (non-codegen, higher-order)
+    transform per row in an interpreted Filter — profiled at ~4 full md5
+    passes per duplicate_spans run. Persisting materializes the pass ONCE;
+    operators composed into one pipeline (pipeline_pretrain/v3 chain
+    contamination + duplicate_spans) share the same cache entry because
+    the canonicalized plan is identical. At warehouse scale this persist
+    is the materialized window-signature table a production span-dedup
+    maintains (MEMORY_AND_DISK, spills instead of OOMing)."""
+    return window_hashes(docs, k=k, text_col=text_col).persist()
+
+
 def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Per-doc verbatim-duplicate coverage: (doc_id, n_tokens, n_dup_spans,
     n_dup_tokens), where a token position is "duplicated" iff it lies in a
@@ -72,7 +89,7 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     by doc length, so no mega-partition). Overlapping/adjacent windows
     (gap ≤ k) coalesce into one span — the paper's "duplicated span", not
     one row per window."""
-    base = window_hashes(docs, k=k)
+    base = hashed_windows(docs, k=k)
     pos = base.select("doc_id", F.posexplode("hs").alias("pos", "sh"))
     dup_sh = (
         pos.groupBy("sh").agg(F.count("*").alias("c"))
@@ -128,7 +145,7 @@ def contamination(docs: DataFrame, bench: DataFrame,
     so the probe is map-side: no shuffle of the document windows at all —
     the only exchange is the per-doc count aggregation of the (rare)
     hits."""
-    pos = window_hashes(docs, k=k).select(
+    pos = hashed_windows(docs, k=k).select(
         "doc_id", F.explode("hs").alias("sh")
     )
     return (
