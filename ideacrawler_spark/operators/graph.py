@@ -120,7 +120,7 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
         (F.lit(init).cast("long") if init is not None
          else F.expr(f"if(_base > 0, {scale}L, 0L)")).alias("pr"),
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         sums = (
             links.join(ranks, links["src"] == ranks["node"])
             .select(F.col("dst").alias("node"),
@@ -136,7 +136,14 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
                     f"({d_num} * coalesce(s, 0L)) div {d_den}"))
                 .cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint for the intermediate iterations: the logical
+            # plan is truncated immediately (flat plans, same as before)
+            # but no blocking job runs per iteration — the EAGER final
+            # checkpoint materializes the whole chain as ONE Spark job,
+            # with each intermediate cached as it computes. Profiled: the
+            # per-iteration eager jobs were pure driver/scheduler latency
+            # on a dimension-sized rank vector.
+            .localCheckpoint(eager=(i == n_iter - 1))
         )
     links.unpersist()
     nodes.unpersist()
@@ -172,7 +179,7 @@ def hits(edges: DataFrame, n_iter: int = 4,
     auth = nodes.select("node", F.lit(scale).cast("long").alias("a"))
     hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
 
-    def _half(vec, vec_col, join_src, out_key):
+    def _half(vec, vec_col, join_src, out_key, eager=False):
         raw = (
             links.join(vec, links[join_src] == vec["node"])
             .groupBy(links[out_key].alias("node"))
@@ -187,12 +194,21 @@ def hits(edges: DataFrame, n_iter: int = 4,
                 F.expr(f"(coalesce(_r, 0L) * {scale}) div _m")
                 .cast("long").alias(vec_col),
             )
-            .localCheckpoint(eager=True)
+            # lazy intermediate checkpoints, one eager materialization at
+            # the end — same rationale as pagerank: flat plans without a
+            # blocking driver job per half-step
+            .localCheckpoint(eager=eager)
         )
 
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        last = i == n_iter - 1
         auth = _half(hub, "h", "src", "dst").withColumnRenamed("h", "a")
-        hub = _half(auth, "a", "dst", "src").withColumnRenamed("a", "h")
+        hub = _half(auth, "a", "dst", "src",
+                    eager=last).withColumnRenamed("a", "h")
+        if last:
+            # auth feeds the eagerly-materialized hub, but the output also
+            # reads auth directly — pin it before links/nodes unpersist
+            auth = auth.localCheckpoint(eager=True)
     out = (
         nodes.join(auth, "node", "left")
         .join(hub, "node", "left")

@@ -293,7 +293,9 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20,
                 "doc_id",
                 F.coalesce(F.col("_jc"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe right below is the action that
+            # materializes this checkpoint — one job per iteration, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         labels.unpersist()
