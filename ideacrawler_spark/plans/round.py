@@ -49,6 +49,112 @@ def _udfs(unsafe: bool, feeds: bool = False):
     )
 
 
+@lru_cache(maxsize=8)
+def _static_exprs(mimetype: str, child_method: str, shuffle_partitions: int):
+    """Round-invariant Column expression trees, built ONCE per process.
+
+    Profiled: run_round spent ~1.6 s/round blocked on py4j building the
+    same unresolved expressions every round (each F.col/alias/when is a
+    JVM round trip and every DataFrame op re-analyzes). Column objects
+    are immutable unresolved trees, so they are safely reused across
+    rounds and DataFrames — the same lifetime story as the cached UDFs
+    above. Only the genuinely per-round pieces (F.lit(rnd), offsets) are
+    still built inside run_round."""
+    ship_base = [
+        F.col("fetch_seq"), F.col("url"), F.col("depth"),
+        F.col("anchor").alias("anchor_text"), F.col("meta"),
+    ]
+    return dict(
+        path_col=F.coalesce(
+            F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")),
+        ctype_base=F.coalesce(
+            F.trim(F.split(F.col("_ctype"), ";").getItem(0)),
+            F.lit(mimetype),
+        ),
+        status_filled=F.coalesce(F.col("_status"), F.lit(404)),
+        is_err=(F.col("_status") >= 400) & (F.col("_status") < 600),
+        head_requeues=[
+            F.lit(0).alias("depth"),
+            F.col("depth").alias("parent_depth"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(-1).alias("link_pos"),
+            F.col("url"), F.col("url_norm"), F.col("host"),
+            F.lit("").alias("anchor"), F.col("meta"),
+            F.lit("GET").alias("method"),
+            F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
+        ],
+        children=[
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("parent_depth"), F.col("parent_seq"), F.col("link_pos"),
+            F.col("url_norm").alias("url"), F.col("url_norm"), F.col("host"),
+            F.col("anchor"), F.col("meta"),
+            F.lit(child_method).alias("method"),
+            F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
+        ],
+        shipped_err=ship_base + [
+            F.col("_status").alias("status"), F.lit("").alias("text"),
+            F.lit(False).alias("success"),
+        ],
+        shipped_ok=ship_base + [
+            F.col("_status").alias("status"),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            F.lit(True).alias("success"),
+        ],
+        links_post=[
+            F.col("parent_depth"), F.col("parent_seq"), F.col("parent_url"),
+            F.col("meta"), F.col("link_pos"),
+            F.col("_link.href").alias("href"),
+            F.col("_link.anchor").alias("anchor"),
+        ],
+        resolved_post=[
+            F.col("parent_depth"), F.col("parent_seq"), F.col("parent_url"),
+            F.col("meta"), F.col("link_pos"), F.col("anchor"),
+            F.col("_res.url_norm").alias("url_norm"),
+            F.col("_res.host_raw").alias("host_raw"),
+            F.col("_res.host").alias("host"),
+        ],
+        adm_aggs=[
+            F.count("*").alias("admitted"),
+            F.sum(F.when(~F.col("_allowed"), 1).otherwise(0))
+            .alias("robots_denied"),
+        ],
+        fetch_aggs=[
+            F.count("*").alias("fetched"),
+            F.sum(
+                F.when(
+                    (F.col("_ctype_base") == mimetype)
+                    & (F.col("method") == "GET") & ~F.col("no_callback")
+                    & (F.col("_status") >= 400) & (F.col("_status") < 600),
+                    1,
+                ).otherwise(0)
+            ).alias("errors"),
+        ],
+        enq_aggs=[
+            F.count("*").alias("n_enq"), F.max("seq").alias("max_seq"),
+        ],
+        shard=F.pmod(F.xxhash64(F.col("host")),
+                     F.lit(shuffle_partitions)).cast("int").alias("shard"),
+        pm_aggs=[
+            F.count("*").alias("admitted"),
+            F.sum(F.when(~F.col("_allowed"), 1).otherwise(0))
+            .alias("robots_denied"),
+            F.sum(F.when(F.col("_allowed"), 1).otherwise(0)).alias("fetched"),
+        ],
+        outlink_aggs=[
+            F.array_sort(F.collect_set("url_norm")).alias("outlinks"),
+            F.first("parent_depth").alias("depth"),
+        ],
+        pg_cols=[
+            F.col("url").alias("_page_url"),
+            F.col("html").alias("_html"),
+            F.col("text").alias("_text"),
+            F.col("status").alias("_status"),
+            F.col("content_type").alias("_ctype"),
+        ],
+        seen_key=F.col("url_norm").alias("key"),
+    )
+
+
 FRONTIER_SCHEMA = (
     "depth int, seq long, url string, url_norm string, host string, "
     "anchor string, meta string, method string, pushed boolean, "
@@ -75,18 +181,23 @@ class RoundResult:
 
 def _host_budget_col(spec: JobSpec):
     """JobSpec.host_budget as a Column over the joined crawl_delay."""
-    eff = float(spec.effective_delay_s)
-    if spec.impolite:
+    return _host_budget_col_cached(
+        bool(spec.impolite), float(spec.effective_delay_s),
+        float(spec.round_seconds), max(1, spec.threads_per_site))
+
+
+@lru_cache(maxsize=8)
+def _host_budget_col_cached(impolite: bool, eff: float,
+                            round_seconds: float, threads: int):
+    if impolite:
         delay = F.lit(eff)
     else:
         delay = F.when(
             F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
             F.col("crawl_delay"),
         ).otherwise(F.lit(eff))
-    per_thread = F.greatest(
-        F.lit(1), F.floor(F.lit(float(spec.round_seconds)) / delay)
-    )
-    return per_thread * F.lit(max(1, spec.threads_per_site))
+    per_thread = F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / delay))
+    return per_thread * F.lit(threads)
 
 
 def run_round(
@@ -132,22 +243,23 @@ def run_round(
     carried = carried.drop("crawl_delay", "rules")
     metrics["carried"] = None  # filled by driver (avoids an extra action)
 
+    child_method = "HEAD" if spec.check_content else "GET"
+    X = _static_exprs(spec.mimetype, child_method, shuffle_partitions)
+
     # ---- robots allow/deny gate (pandas UDF over the joined rule array) --
     # Go tests agent.Test(v.URL().Path) — the raw (possibly EMPTY) path;
     # %-decoding happens inside the UDF (u.Path is the decoded form).
-    path_col = F.coalesce(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit(""))
     if spec.impolite:
         allowed = admitted.withColumn("_allowed", F.lit(True))
     else:
         allowed = admitted.withColumn(
-            "_allowed", _udfs(spec.unsafe_normalize)["robots"](path_col, F.col("rules"))
+            "_allowed",
+            _udfs(spec.unsafe_normalize)["robots"](X["path_col"],
+                                                   F.col("rules")),
         )
     allowed = allowed.persist()
     # admission counters fold into the single end-of-round counters job
-    adm_counts = allowed.agg(
-        F.count("*").alias("admitted"),
-        F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("robots_denied"),
-    )
+    adm_counts = allowed.agg(*X["adm_aggs"])
     fetchable = allowed.filter(F.col("_allowed")).drop(
         "_allowed", "crawl_delay", "rules")
 
@@ -168,37 +280,16 @@ def run_round(
     )
 
     # ---- "fetch" = equi-join against the simulated web -------------------
-    pg = pages.select(
-        F.col("url").alias("_page_url"),
-        F.col("html").alias("_html"),
-        F.col("text").alias("_text"),
-        F.col("status").alias("_status"),
-        F.col("content_type").alias("_ctype"),
-    )
+    pg = pages.select(*X["pg_cols"])
     fetched = fetchable.join(pg, on=fetchable.url_norm == pg._page_url, how="left")
     fetched = (
-        fetched.withColumn("_status", F.coalesce(F.col("_status"), F.lit(404)))
-        .withColumn(
-            "_ctype_base",
-            F.coalesce(
-                F.trim(F.split(F.col("_ctype"), ";").getItem(0)),
-                F.lit(spec.mimetype),  # misses behave like text/html 404s
-            ),
-        )
+        fetched.withColumn("_status", X["status_filled"])
+        # misses behave like text/html 404s (ctype coalesced to mimetype)
+        .withColumn("_ctype_base", X["ctype_base"])
         .drop("_page_url", "_ctype")
         .persist()
     )
-    fetch_counts = fetched.agg(
-        F.count("*").alias("fetched"),
-        F.sum(
-            F.when(
-                (F.col("_ctype_base") == spec.mimetype)
-                & (F.col("method") == "GET") & ~F.col("no_callback")
-                & (F.col("_status") >= 400) & (F.col("_status") < 600),
-                1,
-            ).otherwise(0)
-        ).alias("errors"),
-    )
+    fetch_counts = fetched.agg(*X["fetch_aggs"])
 
     # mimetype mux (job.go:620-623): non-matching pages are not handled at
     # all — except, with follow_feeds, feed-typed pages, which are handled
@@ -221,29 +312,17 @@ def run_round(
     # ---- HEAD requeue quirk (job.go:302-315): GET, depth reset, anchor lost
     head_requeues = (
         handled.filter(F.col("method") == "HEAD")
-        .select(
-            F.lit(0).alias("depth"),
-            F.col("depth").alias("parent_depth"),
-            F.col("seq").alias("parent_seq"),
-            F.lit(-1).alias("link_pos"),
-            F.col("url"), F.col("url_norm"), F.col("host"),
-            F.lit("").alias("anchor"), F.col("meta"),
-            F.lit("GET").alias("method"),
-            F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
-        )
+        .select(*X["head_requeues"])
     )
 
     gets = handled.filter((F.col("method") == "GET") & ~F.col("no_callback"))
-    is_err = (F.col("_status") >= 400) & (F.col("_status") < 600)
+    is_err = X["is_err"]
 
     # ---- error gate (job.go:121-137): ship error only at depth 0 ---------
+    rnd_col = F.lit(rnd).alias("round")
     err_rows = gets.filter(is_err & ~F.col("_is_feed"))
     shipped_err = err_rows.filter(F.col("depth") == 0).select(
-        F.col("fetch_seq"), F.col("url"), F.col("depth"),
-        F.col("anchor").alias("anchor_text"), F.col("meta"),
-        F.col("_status").alias("status"), F.lit("").alias("text"),
-        F.lit(False).alias("success"), F.lit(rnd).alias("round"),
-    )
+        *X["shipped_err"], rnd_col)
 
     ok = gets.filter(~is_err)
 
@@ -298,28 +377,17 @@ def run_round(
         F.col("url").alias("parent_url"),
         F.col("meta"),
         F.posexplode(_extract_col).alias("link_pos", "_link"),
-    ).select(
-        "parent_depth", "parent_seq", "parent_url", "meta", "link_pos",
-        F.col("_link.href").alias("href"),
-        F.col("_link.anchor").alias("anchor"),
-    )
+    ).select(*X["links_post"])
     resolved = links.withColumn(
         "_res",
         _udfs(spec.unsafe_normalize)["resolve"](
             F.col("parent_url"), F.col("href")
         ),
-    ).select(
-        "parent_depth", "parent_seq", "parent_url", "meta", "link_pos", "anchor",
-        F.col("_res.url_norm").alias("url_norm"),
-        F.col("_res.host_raw").alias("host_raw"),
-        F.col("_res.host").alias("host"),
-    ).filter(F.col("url_norm").isNotNull()).persist()
+    ).select(*X["resolved_post"]) \
+        .filter(F.col("url_norm").isNotNull()).persist()
 
     # ---- analyzed-URLs sink (job.go:815,874-893): per-page outlink set ---
-    outlinks = resolved.groupBy("parent_url").agg(
-        F.array_sort(F.collect_set("url_norm")).alias("outlinks"),
-        F.first("parent_depth").alias("depth"),
-    )
+    outlinks = resolved.groupBy("parent_url").agg(*X["outlink_aggs"])
 
     # ---- eligibility (job.go:792-806) ------------------------------------
     req_match = F.lit(True)
@@ -393,15 +461,7 @@ def run_round(
     else:
         children_src = new_firsts
 
-    child_method = "HEAD" if spec.check_content else "GET"
-    children = children_src.select(
-        (F.col("parent_depth") + 1).alias("depth"),
-        F.col("parent_depth"), F.col("parent_seq"), F.col("link_pos"),
-        F.col("url_norm").alias("url"), F.col("url_norm"), F.col("host"),
-        F.col("anchor"), F.col("meta"),
-        F.lit(child_method).alias("method"),
-        F.lit(False).alias("pushed"), F.lit(False).alias("no_callback"),
-    )
+    children = children_src.select(*X["children"])
 
     # ---- discovery sequence numbers: children + HEAD requeues jointly,
     #      ordered exactly as the reference's enqueue counter would fire
@@ -413,9 +473,7 @@ def run_round(
         track=_rank_caches,
     ).drop("parent_depth", "parent_seq", "link_pos")
 
-    seen_new = (
-        new_firsts.select(F.col("url_norm").alias("key"))
-    )
+    seen_new = new_firsts.select(X["seen_key"])
 
     # ---- callback OR-chain (job.go:210-273) -------------------------------
     cb = F.lit(False)
@@ -435,12 +493,7 @@ def run_round(
             if pairs:
                 cb = cb | xpath_match_udf(pairs)(F.col("_html"))
     shipped_ok = ok.filter(cb & ~F.col("_is_feed")).select(
-        F.col("fetch_seq"), F.col("url"), F.col("depth"),
-        F.col("anchor").alias("anchor_text"), F.col("meta"),
-        F.col("_status").alias("status"),
-        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
-        F.lit(True).alias("success"), F.lit(rnd).alias("round"),
-    )
+        *X["shipped_ok"], rnd_col)
     shipped = shipped_err.unionByName(shipped_ok)
 
     order_cols = fetched.select(
@@ -449,14 +502,9 @@ def run_round(
     # ---- per-partition lineage metrics (D3): one row per host-hash shard.
     #      The reference only logs ad hoc (job.go:207,865); the engine keeps
     #      auditable counts per shard per round.
-    shard = F.pmod(F.xxhash64(F.col("host")), F.lit(shuffle_partitions)).cast("int")
     part_metrics = (
-        allowed.groupBy(shard.alias("shard"))
-        .agg(
-            F.count("*").alias("admitted"),
-            F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)).alias("robots_denied"),
-            F.sum(F.when(F.col("_allowed"), 1).otherwise(0)).alias("fetched"),
-        )
+        allowed.groupBy(X["shard"])
+        .agg(*X["pm_aggs"])
         .withColumn("round", F.lit(rnd))
         .withColumn("retried", F.lit(0))  # reference never retries
         # (fetch.go:415-425: errors and robots-denials drop, no requeue)
@@ -470,9 +518,7 @@ def run_round(
     #      caches, so the whole round costs exactly one metrics action
     #      (VERDICT r01: four separate collects were the round-latency
     #      floor).
-    enq_counts = enq.agg(
-        F.count("*").alias("n_enq"), F.max("seq").alias("max_seq")
-    )
+    enq_counts = enq.agg(*X["enq_aggs"])
     counters = (
         adm_counts.crossJoin(fetch_counts)
         .crossJoin(elig_counts)

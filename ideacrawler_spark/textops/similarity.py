@@ -596,11 +596,17 @@ def semdedup(embeddings: DataFrame, n_cells: int = 8, tau_num: int = 4,
         "vec_id", "q", "cell", dist_q(F.col("q"), F.col("cq")).alias("d")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cell"))
+    # persisted: the rep-cap window, the pair join AND the final keep/drop
+    # join all read `assigned` — without the persist each reference
+    # recomputes the centroid cross-join + argmin window, whose
+    # quantize/dot transforms are interpreted higher-order expressions
+    # (the dominant per-row cost; profiled 3x redundant)
     assigned = (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("vec_id", "cell", "q",
                 dot_q(F.col("q"), F.col("q")).alias("n2"))
+        .persist()
     )
     wc = Window.partitionBy("cell").orderBy("vec_id")
     reps = (
