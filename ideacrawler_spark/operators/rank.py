@@ -48,7 +48,8 @@ SMALL_RANK_ROWS = 131072  # single-task sort is cheaper below this
 def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
                 offset: int = 0, num_partitions: int | None = None,
                 track: list | None = None,
-                small_hint: int | None = None) -> DataFrame:
+                small_hint: int | None = None,
+                persist_input: bool = False) -> DataFrame:
     """Add ``out_col`` = offset + dense 0-based rank of the row in the total
     order given by ``order_cols`` (must be a strict total order).
 
@@ -56,6 +57,10 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
     so long-running callers (the crawl round loop) can unpersist it once
     the round's outputs are materialized — otherwise the cache pins
     memory for the session.
+
+    ``persist_input``: opt-in cache of the input before the range shuffle
+    so the boundary-sampling job does not recompute an expensive,
+    un-cached upstream (see inline note).
 
     ``small_hint``: a caller-KNOWN upper bound on the row count (e.g. the
     round's admission budget). When it proves the input fits in one task
@@ -73,12 +78,18 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
         return df.withColumn(
             out_col,
             (F.row_number().over(w) - 1 + F.lit(offset)).cast("long"))
-    # persist the INPUT before the range shuffle: the range partitioner's
-    # boundary-sampling job executes the child once and the shuffle executes
-    # it again — for a UDF-heavy caller that doubles the whole pipeline
-    src = df.persist()
-    if track is not None:
-        track.append(src)
+    # persist_input: the range partitioner's boundary-sampling job executes
+    # the child once and the shuffle executes it again — for a caller whose
+    # upstream is UDF-heavy AND un-cached (the bench frontier pipeline)
+    # that doubles the whole pipeline, so such callers opt in. For cheap or
+    # already-cached upstreams (a parquet projection, a round's persisted
+    # mid-frames) the extra materialization costs more than the re-run.
+    if persist_input:
+        src = df.persist()
+        if track is not None:
+            track.append(src)
+    else:
+        src = df
     if num_partitions:
         part = src.repartitionByRange(num_partitions, *cols)
     else:

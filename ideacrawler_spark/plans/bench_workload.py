@@ -117,7 +117,7 @@ def frontier_round(spark: SparkSession, n: int, host_budget: int = 500,
         host_budget_max=host_budget,  # literal ⇒ WindowGroupLimit partial top-k
     )
     ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
-                         num_partitions=parts)
+                         num_partitions=parts, persist_input=True)
     ranked.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
     # global_rank persists its ranked frame; identical plans across bench
@@ -164,7 +164,7 @@ def frontier_round_narrow(spark: SparkSession, n: int, host_budget: int = 500,
         host_budget_max=host_budget,
     )
     ranked = global_rank(admitted, ["depth", "seq"], out_col="fetch_seq",
-                         num_partitions=parts)
+                         num_partitions=parts, persist_input=True)
     ranked.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
     spark.catalog.clearCache()
