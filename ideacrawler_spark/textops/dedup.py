@@ -338,11 +338,16 @@ def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
     hash AND same length) are tolerated: at 10^10 lines the expected count
     is <<1, and the failure mode is one over-counted line, not data loss
     beyond that line."""
+    # persisted: the corpus-wide count, the keep-join probe side and the
+    # per-doc totals all read this explode — un-persisted, each reference
+    # re-split and re-hashed every document (3 full passes; inside
+    # pipeline_curation the 4-word chunking transform re-ran too)
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("_lh", F.xxhash64("line")) \
-     .withColumn("_ll", F.length("line"))
+     .withColumn("_ll", F.length("line")) \
+     .persist()
     counts = lines.groupBy("_lh", "_ll").agg(F.count("*").alias("_n"))
     kept = lines.join(counts, ["_lh", "_ll"]).filter(
         F.col("_n") <= max_occurrences)

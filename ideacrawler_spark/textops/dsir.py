@@ -46,17 +46,27 @@ def dsir_select(docs: DataFrame, target_lang: str = "en",
     defined inside the same table so the oracle sees identical inputs —
     the plan shape is the same either way (the target count is just a
     second aggregation, of whatever frame plays the target)."""
+    # persisted: the weight estimation AND the scoring join both read the
+    # bucketed word stream — without the persist each reference re-ran the
+    # explode + portable-hash pass over the whole corpus (and the raw/
+    # target distributions, previously two aggregations + a join, fold
+    # into ONE conditional aggregate — one exchange of <= n_buckets
+    # partial rows instead of two plus a join)
     buckets = docs.select(
         "doc_id", "lang", F.explode(words_col()).alias("w")
-    ).select("doc_id", "lang", (h60(F.col("w")) % n_buckets).alias("b"))
-    raw = buckets.groupBy("b").agg(F.count("*").alias("r"))
-    tgt = (
-        buckets.filter(F.col("lang") == target_lang)
-        .groupBy("b").agg(F.count("*").alias("t"))
-    )
-    weights = raw.join(tgt, "b", "left").select(
-        "b",
-        F.expr(f"div({scale} * (coalesce(t, 0) + 1), r + 1)").alias("wb"),
+    ).select("doc_id", "lang", (h60(F.col("w")) % n_buckets).alias("b")) \
+        .persist()
+    weights = (
+        buckets.groupBy("b")
+        .agg(
+            F.count("*").alias("r"),
+            F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+            .alias("t"),
+        )
+        .select(
+            "b",
+            F.expr(f"div({scale} * (coalesce(t, 0) + 1), r + 1)").alias("wb"),
+        )
     )
     scores = (
         buckets.join(F.broadcast(weights), "b")
