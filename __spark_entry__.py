@@ -1065,7 +1065,8 @@ def q_host_pagerank(spark, sf_dir):
     pipeline weights sources by; bit-exact vs the unrolled SQL oracle."""
     from ideacrawler_spark.operators.graph import pagerank
 
-    return pagerank(_host_edges(spark, sf_dir), n_iter=6)
+    return pagerank(_host_edges(spark, sf_dir), n_iter=6,
+                    shuffle_partitions=8)
 
 
 def q_host_hits(spark, sf_dir):
@@ -1073,7 +1074,8 @@ def q_host_hits(spark, sf_dir):
     directory-page vs destination-page split PageRank can't see."""
     from ideacrawler_spark.operators.graph import hits
 
-    return hits(_host_edges(spark, sf_dir), n_iter=4)
+    return hits(_host_edges(spark, sf_dir), n_iter=4,
+                shuffle_partitions=8)
 
 
 def q_classifier_score(spark, sf_dir):
@@ -1101,7 +1103,8 @@ def q_host_trustrank(spark, sf_dir):
 
     seeds = spark.createDataFrame(
         [(s,) for s in TRUST_SEEDS], "node string")
-    return trustrank(_host_edges(spark, sf_dir), seeds, n_iter=6)
+    return trustrank(_host_edges(spark, sf_dir), seeds, n_iter=6,
+                     shuffle_partitions=8)
 
 
 def q_url_templates(spark, sf_dir):
@@ -1168,7 +1171,8 @@ def q_frontier_prioritized(spark, sf_dir):
     from ideacrawler_spark.operators.graph import pagerank
 
     fr = _frontier(spark, sf_dir).select("host", "url", "depth", "seq")
-    pr = pagerank(_host_edges(spark, sf_dir), n_iter=6)
+    pr = pagerank(_host_edges(spark, sf_dir), n_iter=6,
+                  shuffle_partitions=8)
     tot = pr.agg(F.sum("pr").alias("_tot"))
     bud = (
         pr.crossJoin(F.broadcast(tot))

@@ -64,7 +64,8 @@ def host_degrees(edges: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
              damping: tuple = (85, 100),
-             seeds: DataFrame = None) -> DataFrame:
+             seeds: DataFrame = None,
+             shuffle_partitions: int | None = None) -> DataFrame:
     """Integer fixed-point PageRank over an (src, dst) edge table.
 
     Returns (node, pr) with pr in units of 1/``scale`` under the
@@ -89,6 +90,26 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
     """
     d_num, d_den = damping
     base = (d_den - d_num) * scale // d_den
+    # shuffle_partitions: callers ranking a DIMENSION-sized graph (host
+    # authority over thousands of hosts, not the corpus) pass a small
+    # width; the session default sizes shuffles for corpus-scale
+    # operators, and n_iter x 3 exchanges of a tiny rank vector at that
+    # width is ~10^3 near-empty tasks of pure scheduler latency (AQE
+    # would coalesce them at runtime, but bench sessions run AQE off).
+    # Restored in the finally below; the per-node values are partition-
+    # count-invariant.
+    sess = edges.sparkSession
+    prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _pagerank_loop(edges, n_iter, scale, d_num, d_den, base, seeds)
+    finally:
+        if shuffle_partitions is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _pagerank_loop(edges, n_iter, scale, d_num, d_den, base, seeds):
     links = (
         edges.join(
             edges.groupBy("src").agg(F.count("*").alias("od")), "src")
@@ -151,7 +172,8 @@ def pagerank(edges: DataFrame, n_iter: int = 6, scale: int = 1_000_000,
 
 
 def hits(edges: DataFrame, n_iter: int = 4,
-         scale: int = 1000) -> DataFrame:
+         scale: int = 1000,
+         shuffle_partitions: int | None = None) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) in integer fixed-point:
     per iteration, authority(v) = Σ over in-edges of hub(u) and
     hub(u) = Σ over out-edges of the NEW authority(v), each rescaled to
@@ -169,6 +191,18 @@ def hits(edges: DataFrame, n_iter: int = 4,
     for the whole run) + one partial-aggregated groupBy; n_iter is
     fixed so the unrolled SQL oracle rebuilds the exact integers.
     """
+    sess = edges.sparkSession
+    prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:  # dimension-sized graphs; see pagerank
+        sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _hits_loop(edges, n_iter, scale)
+    finally:
+        if shuffle_partitions is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _hits_loop(edges, n_iter, scale):
     links = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -225,9 +259,10 @@ def hits(edges: DataFrame, n_iter: int = 4,
 
 def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 6,
               scale: int = 1_000_000,
-              damping: tuple = (85, 100)) -> DataFrame:
+              damping: tuple = (85, 100),
+              shuffle_partitions: int | None = None) -> DataFrame:
     """TrustRank: PageRank with the reset vector restricted to a curated
     seed set — the standard link-spam demotion signal. See ``pagerank``.
     """
     return pagerank(edges, n_iter=n_iter, scale=scale, damping=damping,
-                    seeds=seeds)
+                    seeds=seeds, shuffle_partitions=shuffle_partitions)
