@@ -80,7 +80,13 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     Each step: pair-count shuffle over the vocab → ordered limit(1)
     argmax (ONE row collected) → merge applied map-side via replace()."""
     spark = docs.sparkSession
-    vocab = word_types(docs).select(
+    # persisted: the step-0 argmax collect and the step-1 collect (whose
+    # lazily-checkpointed vocab still chains from here) would otherwise
+    # each re-run the corpus-wide word-type aggregation — and because the
+    # cache is keyed on the canonicalized plan, bpe_token_count's encode
+    # pass over the same word_types(docs) reuses it too instead of a
+    # third corpus pass
+    vocab = word_types(docs).persist().select(
         _wrapped_symbols(F.col("word")).alias("s"), "cnt"
     )
     merges = []
