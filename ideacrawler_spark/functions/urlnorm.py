@@ -145,7 +145,8 @@ _RX_FAST_ABS = re.compile(
     r"([A-Za-z0-9.\-]+)"
     r"(?::([0-9]+))?"
     r"((?:/(?:[A-Za-z0-9\-._~!$&'()*+,;=:@/\[\]]|%[0-9A-Fa-f]{2})*)?)"
-    r"(\?)?$"
+    r"(\?)?\Z"  # \Z, not $: '$' matches BEFORE a trailing newline, which
+    # would sneak a control character past the Go-parity rejection
 )
 
 
@@ -301,8 +302,12 @@ def host_of(url: str) -> str:
 # r5 shape allowed '@' directly after the host, where it silently
 # flipped the host into an unnormalized userinfo).
 _RX_ALREADY_CANONICAL = re.compile(
-    r"^https?://[a-z0-9.-]+(?:/[a-z0-9\-._~!$&'()*+,;=@/]*)?$"
+    r"^https?://[a-z0-9.-]+(?:/[a-z0-9\-._~!$&'()*+,;=@/]*)?\Z"
 )
+# the same pattern for RE2 (pyarrow): RE2 spells end-of-text '\z' and has
+# no '\Z'; everything else in the pattern is shared syntax
+_RX_ALREADY_CANONICAL_RE2 = _RX_ALREADY_CANONICAL.pattern.replace(
+    "\\Z", "\\z")
 
 
 def canonicalize_series(urls: pd.Series, unsafe: bool = False) -> pd.Series:
@@ -328,7 +333,7 @@ def canonicalize_series(urls: pd.Series, unsafe: bool = False) -> pd.Series:
 
         arr = pa.Array.from_pandas(urls)
         mask = np.asarray(
-            pc.match_substring_regex(arr, _RX_ALREADY_CANONICAL.pattern)
+            pc.match_substring_regex(arr, _RX_ALREADY_CANONICAL_RE2)
             .fill_null(False)
         )
     except Exception:  # noqa: BLE001 — any arrow hiccup → pure-Python path
@@ -396,7 +401,7 @@ RESOLVED_SCHEMA = "struct<url_norm:string,host_raw:string,host:string>"
 # base, path = the reference verbatim — dot-segment removal is a no-op).
 # the (?!/) keeps protocol-relative '//authority' references (RFC 3986
 # 4.2 network-path) out of the rooted-path fast lane
-_RX_ROOTED_SIMPLE = re.compile(r"^/(?!/)[a-z0-9\-._~!$&'()*+,;=@/]*$|^/$")
+_RX_ROOTED_SIMPLE = re.compile(r"^/(?!/)[a-z0-9\-._~!$&'()*+,;=@/]*\Z")
 _RX_DOTSEG = re.compile(r"/\.\.?(?:/|$)")
 
 

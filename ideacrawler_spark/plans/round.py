@@ -428,22 +428,20 @@ def run_round(
 
     # ---- dedup: in-round first occurrence, then anti-join the seen table.
     #      With a Bloom checkpoint, provably-new rows skip the join (D1).
+    firsts = first_occurrence(eligible)
     if bloom_dir is not None and seen_filter == "cuckoo":
         from ideacrawler_spark.operators.cuckoo import cuckoo_anti_join_seen
 
-        firsts = first_occurrence(eligible)
         new_firsts = cuckoo_anti_join_seen(
             firsts, seen, bloom_dir, n_shards=bloom_shards).persist()
     elif bloom_dir is not None:
         from ideacrawler_spark.operators.bloom import bloom_anti_join_seen
 
-        firsts = first_occurrence(eligible)
         new_firsts = bloom_anti_join_seen(
             firsts, seen, bloom_dir, n_shards=bloom_shards).persist()
     else:
         # firsts comes straight out of the groupBy(url_norm) — the anti-
         # join reuses that exchange and hash-probes the seen side unsorted
-        firsts = first_occurrence(eligible)
         new_firsts = anti_join_seen(firsts, seen, partitioned=True).persist()
     new_counts = new_firsts.agg(F.count("*").alias("n_new"))
 

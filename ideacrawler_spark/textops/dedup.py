@@ -264,7 +264,16 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20,
     # monotone decreasing until the fixpoint — equal consecutive sums ⇔
     # no label changed. One scan of the checkpointed frame per iteration
     # instead of a join of old vs new labels (decimal sum: exact, no
-    # 64-bit overflow at any plausible id range x corpus size).
+    # 64-bit overflow at any plausible id range x corpus size). The probe
+    # needs NUMERIC ids — a non-numeric cast would yield NULL sums and
+    # silently "converge" on iteration one, so fail loudly instead.
+    id_type = dict(pairs.dtypes).get("doc_a", "")
+    if not (id_type.startswith(("int", "bigint", "smallint", "tinyint",
+                                "decimal", "long", "double", "float"))):
+        raise TypeError(
+            f"dedup_components: doc ids must be numeric for the label-sum "
+            f"convergence probe (got {id_type}); hash string ids first")
+
     def _label_sum(frame):
         return frame.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
